@@ -1,0 +1,18 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes (SURVEY.md §4 item 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_debug_nans", False)
