@@ -1,0 +1,187 @@
+"""CLI entry point: ``python -m pop_up_slam_tpu.cli run --config <preset>``.
+
+The app layer replacing the reference's roslaunch files (SURVEY.md L4):
+runs one of the five BASELINE presets end-to-end, prints per-frame
+metrics and the final ATE summary, optionally writes a TUM-format
+trajectory and a metrics JSONL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _run_popup_demo(cfg, args):
+    import jax
+    import numpy as np
+
+    from .geometry.camera import Intrinsics
+    from .io import synthetic
+    from .popup import popup as pp
+
+    K = Intrinsics.create(320.0, 320.0, 320.0, 240.0)
+    world = synthetic.corridor_world()
+    R, t = synthetic.corridor_trajectory(1)
+    labels, depth_gt = synthetic.render_frame(K, R[0], t[0], world,
+                                             cfg.height, cfg.width)
+    mask = labels == synthetic.LABEL_GROUND
+    t0 = time.perf_counter()
+    res = jax.jit(lambda m: pp.pop_up(K, m, R[0], t[0], cfg.popup))(mask)
+    depth = pp.depth_from_popup(K, res, mask, R[0], t[0])
+    jax.block_until_ready(depth)
+    dt = time.perf_counter() - t0
+    gt = np.asarray(depth_gt)
+    d = np.asarray(depth)
+    m = gt < 40
+    rel = np.abs(d[m] - gt[m]) / gt[m]
+    print(json.dumps({
+        "config": cfg.name,
+        "n_wall_planes": int(np.asarray(res.valid).sum()),
+        "depth_median_rel_err": float(np.median(rel)),
+        "depth_p95_rel_err": float(np.percentile(rel, 95)),
+        "wall_s_first_frame": round(dt, 3),
+    }, indent=2))
+    return 0
+
+
+def _run_synthetic(cfg, args, distributed=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .evaluation import ate_rmse
+    from .io import synthetic
+    from .pipeline import FrameDetections, slam_init, slam_step
+    from .utils import MetricsLogger
+
+    scfg = cfg.slam
+    world = synthetic.corridor_world()
+    gt_R, gt_t = synthetic.corridor_trajectory(cfg.n_frames, sway=0.3)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_odom, k_obs = jax.random.split(key)
+    Rrel, trel = synthetic.noisy_odometry(
+        gt_R, gt_t, k_odom, sigma_t=cfg.odom_sigma_t,
+        sigma_r=cfg.odom_sigma_r,
+    )
+    obs_keys = jax.random.split(k_obs, cfg.n_frames)
+    obs = jax.vmap(
+        lambda R, t, k: synthetic.observe_frame(
+            world, R, t, key=k, max_det=scfg.max_det
+        )
+    )(gt_R, gt_t, obs_keys)
+
+    state = slam_init(scfg, gt_R[0], gt_t[0])
+    step = jax.jit(lambda s, d, oR, ot: slam_step(s, d, oR, ot, scfg))
+    logger = MetricsLogger(cfg.metrics_path or None)
+
+    est = [np.asarray(gt_t[0])]
+    stamps = [0.0]
+    t_start = time.perf_counter()
+    for i in range(1, cfg.n_frames):
+        det = FrameDetections(
+            obs.planes_c[i], obs.centroid_c[i], obs.endpoints_c[i],
+            obs.valid[i],
+        )
+        state, (R, t) = step(state, det, Rrel[i - 1], trel[i - 1])
+        est.append(np.asarray(t))
+        stamps.append(i / 30.0)
+        logger.log(
+            frame=i,
+            n_kf=int(state.n_kf),
+            n_landmarks=int(np.asarray(state.window.lm_valid).sum()),
+        )
+    wall = time.perf_counter() - t_start
+
+    ate, _, _ = ate_rmse(np.asarray(gt_t), np.stack(est))
+    summary = {
+        "config": cfg.name,
+        "frames": cfg.n_frames,
+        "ate_rmse_m": round(float(ate), 4),
+        "n_keyframes": int(state.n_kf),
+        "n_landmarks": int(np.asarray(state.window.lm_valid).sum()),
+        "frames_per_s": round((cfg.n_frames - 1) / wall, 2),
+    }
+    print(json.dumps(summary, indent=2))
+    if cfg.out_trajectory:
+        from .io import tum
+
+        R_dummy = np.broadcast_to(np.eye(3), (len(est), 3, 3))
+        tum.write_trajectory(cfg.out_trajectory, stamps, R_dummy,
+                             np.stack(est))
+    logger.close()
+    return 0
+
+
+def _run_tum(cfg, args):
+    import os
+
+    if not os.path.isdir(cfg.sequence_dir):
+        print(
+            f"TUM sequence not found at '{cfg.sequence_dir}'.\n"
+            "Download rgbd_dataset_freiburg3_structure_notexture_far "
+            "from the TUM RGB-D benchmark and point --sequence-dir at it.",
+            file=sys.stderr,
+        )
+        return 2
+    from .runners.tum_runner import run_tum_sequence
+
+    summary = run_tum_sequence(cfg)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="pop_up_slam_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a preset end-to-end")
+    runp.add_argument("--config", default="corridor",
+                      help="preset: popup_demo|corridor|tum_fr3|"
+                           "single_host|multi_host")
+    runp.add_argument("--frames", type=int, default=0)
+    runp.add_argument("--sequence-dir", default="")
+    runp.add_argument("--out-trajectory", default="")
+    runp.add_argument("--metrics", default="")
+    runp.add_argument("--profile-dir", default="")
+    args = parser.parse_args(argv)
+
+    from .config import get_config
+
+    overrides = {}
+    if args.frames:
+        overrides["n_frames"] = args.frames
+    if args.sequence_dir:
+        overrides["sequence_dir"] = args.sequence_dir
+    if args.out_trajectory:
+        overrides["out_trajectory"] = args.out_trajectory
+    if args.metrics:
+        overrides["metrics_path"] = args.metrics
+    if args.profile_dir:
+        overrides["profile_dir"] = args.profile_dir
+    cfg = get_config(args.config, **overrides)
+
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
+    try:
+        if cfg.mode == "popup_demo":
+            return _run_popup_demo(cfg, args)
+        if cfg.mode == "synthetic":
+            return _run_synthetic(cfg, args)
+        if cfg.mode == "distributed":
+            return _run_synthetic(cfg, args, distributed=True)
+        if cfg.mode == "tum":
+            return _run_tum(cfg, args)
+        raise SystemExit(f"unknown mode {cfg.mode}")
+    finally:
+        if cfg.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,6 +102,48 @@ def local(pi_ref: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
     return (jnp.swapaxes(B, -1, -2) @ d[..., None])[..., 0]
 
 
+def normal_tangent_basis(n: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis B (..., 3, 2) of the tangent plane of S^2 at the
+    unit normal n — Householder construction, branch-free (same scheme
+    as :func:`tangent_basis` one dimension down).  Used by the
+    Hessian-normal plane residual."""
+    k = jnp.argmax(jnp.abs(n), axis=-1)
+    e_k = jax.nn.one_hot(k, 3, dtype=n.dtype)
+    s = jnp.take_along_axis(n, k[..., None], axis=-1)[..., 0]
+    s = jnp.where(s >= 0, 1.0, -1.0)
+    v = n - s[..., None] * e_k
+    vv = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=n.dtype), n.shape + (3,))
+    H = eye - 2.0 * v[..., :, None] * v[..., None, :] / vv[..., None]
+    all_idx = jnp.arange(3)
+    shifted = all_idx + 3 * (all_idx == k[..., None]).astype(all_idx.dtype)
+    keep = jnp.argsort(shifted, axis=-1)[..., :2]
+    return jnp.take_along_axis(H, keep[..., None, :], axis=-1)  # (..., 3, 2)
+
+
+def hessian_local(pi_pred: jnp.ndarray, pi_meas: jnp.ndarray) -> jnp.ndarray:
+    """Minimal 3-dim plane error in *metric* units: 2 normal-tangent
+    components (radians, small-angle) + 1 signed-distance difference
+    (meters), antipodal-invariant.
+
+    The S^3 chart (:func:`local`) compresses distance errors of far
+    planes by ~1/(1 + d^2), which destroys the along-corridor
+    observability of distant walls (a 0.15 m error on a d=10 plane is
+    ~0.0015 in S^3 tangent units).  SLAM factors therefore use this
+    Hessian-normal residual; the S^3 chart remains the landmark *state*
+    parametrization (retraction), following Kaess ICRA'15.
+    """
+    n_p, d_p = to_hessian_normal(pi_pred)
+    n_m, d_m = to_hessian_normal(pi_meas)
+    s = jnp.where(jnp.sum(n_p * n_m, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0)
+    n_m = s * n_m
+    d_m = s[..., 0] * d_m
+    B = normal_tangent_basis(n_m)
+    r_n = jnp.einsum("...ij,...i->...j", B, n_p)   # (..., 2)
+    r_d = d_p - d_m
+    return jnp.concatenate([r_n, r_d[..., None]], axis=-1)
+
+
 def transform(pi_w: jnp.ndarray, R_cw: jnp.ndarray, t_cw: jnp.ndarray) -> jnp.ndarray:
     """Transform a world plane into a frame c given the *world-from-c* pose?
 

@@ -25,6 +25,21 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """||x|| with a NaN-free derivative at x = 0.
+
+    ``jnp.linalg.norm`` has d|x|/dx = x/|x| -> 0/0 = NaN at the origin;
+    under ``jacfwd`` that NaN survives multiplication by a zero mask
+    (NaN * 0 = NaN) and poisons the whole assembled Hessian whenever a
+    padded/invalid factor is linearized at the identity.  Routing the
+    zero case through a constant branch gives a 0 subgradient instead.
+    """
+    sq = jnp.sum(x * x, axis=-1)
+    positive = sq > 0
+    safe = jnp.where(positive, sq, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
+
+
 def _hat_sq(phi: jnp.ndarray) -> jnp.ndarray:
     """Closed form K(phi)^2 = phi phi^T - |phi|^2 I.
 
@@ -82,7 +97,7 @@ def _sincc(x: jnp.ndarray) -> jnp.ndarray:
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula. phi: (..., 3) -> R: (..., 3, 3)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     KK = _hat_sq(phi)
     a = _sinc(theta)[..., None, None]
@@ -99,7 +114,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     q = rotmat_to_quat(R)  # (w, x, y, z), w >= 0
     w = q[..., 0]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    vn = _safe_norm(v)
     # angle = 2*atan2(|v|, w); axis = v/|v|
     angle = 2.0 * jnp.arctan2(vn, w)
     scale = jnp.where(vn < _EPS, 2.0 / jnp.maximum(w, _EPS), angle / jnp.maximum(vn, _EPS))
@@ -150,7 +165,7 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 def se3_V(phi: jnp.ndarray) -> jnp.ndarray:
     """The SE(3) left-Jacobian-of-translation V(phi)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     KK = _hat_sq(phi)
     b = _cosc(theta)[..., None, None]
@@ -161,7 +176,7 @@ def se3_V(phi: jnp.ndarray) -> jnp.ndarray:
 
 def se3_V_inv(phi: jnp.ndarray) -> jnp.ndarray:
     """Inverse of V(phi), closed form."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     KK = _hat_sq(phi)
     half = 0.5 * theta

@@ -207,6 +207,39 @@ def render_frame(K: Intrinsics, R_wc: jnp.ndarray, t_wc: jnp.ndarray,
     return labels, depth
 
 
+def render_rgb(labels: jnp.ndarray, key,
+               floor_rgb=(0.30, 0.24, 0.20),
+               wall_rgb=(0.82, 0.80, 0.75),
+               sky_rgb=(0.95, 0.95, 0.97),
+               wall_tint: float = 0.06,
+               noise: float = 0.02) -> jnp.ndarray:
+    """Colorize a label image into a plausible low-texture RGB frame.
+
+    Matches the TUM structure-notexture look (dark floor, near-white
+    walls): per-wall deterministic tints + pixel noise so the learned
+    segmenter cannot shortcut on exact colors.  labels: (H, W) int32.
+    Returns (H, W, 3) float32 in [0, 1].
+    """
+    H, W = labels.shape
+    floor = jnp.asarray(floor_rgb)
+    wall = jnp.asarray(wall_rgb)
+    sky = jnp.asarray(sky_rgb)
+
+    wall_idx = jnp.maximum(labels - LABEL_WALL_BASE, 0)
+    tint_key, noise_key = jax.random.split(key)
+    tints = wall_tint * (
+        jax.random.uniform(tint_key, (64, 3)) - 0.5
+    )
+    wall_col = wall + tints[jnp.clip(wall_idx, 0, 63)]
+
+    img = jnp.where(
+        (labels == LABEL_GROUND)[..., None], floor,
+        jnp.where((labels == LABEL_SKY)[..., None], sky, wall_col),
+    )
+    img = img + noise * jax.random.normal(noise_key, (H, W, 3))
+    return jnp.clip(img, 0.0, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Ground-truth plane observations + noisy odometry
 # ---------------------------------------------------------------------------
@@ -232,30 +265,88 @@ class FrameObservations(NamedTuple):
 
 def observe_frame(world: WallWorld, R_wc, t_wc, key=None,
                   max_det: int = 8, max_range: float = 12.0,
-                  fov_cos: float = 0.3, noise_plane: float = 0.0,
+                  tan_half_fov: float = 1.1, znear: float = 0.2,
+                  min_vis_len: float = 0.3, noise_plane: float = 0.0,
                   include_ground: bool = True) -> FrameObservations:
     """Simulate the pop-up front-end output for one pose (no rendering).
 
-    A wall is observed if its closest point is within range and its
-    midpoint lies in front of the camera (forward-cosine > fov_cos
-    relative margin).  Observations are the wall planes transformed to
+    A wall is observed if its ground-line segment, clipped to the
+    camera's forward half-space (z > znear) and the horizontal FOV cone
+    (|x| <= tan_half_fov * z), has at least ``min_vis_len`` visible
+    length within ``max_range``.  The reported centroid/endpoints are
+    those of the *clipped visible portion* — what an image-based
+    front-end would actually see.  Observations are the wall planes in
     the camera frame, optionally perturbed in the 3-DOF tangent space.
     """
     R_cw, t_cw = se3.se3_inverse(R_wc, t_wc)
     M = world.max_walls
-    mid_w = jnp.pad((world.p0 + world.p1) / 2.0, ((0, 0), (0, 1)))  # z=0
-    mid_c = se3.se3_apply(R_cw, t_cw, mid_w)
-    fwd_ok = mid_c[:, 2] > 0.1
-    dist_ok = jnp.linalg.norm(mid_c, axis=-1) < max_range
-    cosang = mid_c[:, 2] / jnp.maximum(jnp.linalg.norm(mid_c, axis=-1), 1e-9)
-    vis = world.valid & fwd_ok & dist_ok & (cosang > fov_cos)
+
+    e0_w = jnp.pad(world.p0, ((0, 0), (0, 1)))
+    e1_w = jnp.pad(world.p1, ((0, 0), (0, 1)))
+    a = se3.se3_apply(R_cw, t_cw, e0_w)          # (M, 3)
+    b = se3.se3_apply(R_cw, t_cw, e1_w)
+
+    # Clip the segment a->b to the intersection of three half-spaces:
+    # z >= znear, x <= tan*z, -x <= tan*z — each is linear in the
+    # parameter s of p(s) = a + s (b - a), so the visible part is an
+    # interval [s_lo, s_hi] computed half-space by half-space.
+    d = b - a
+
+    def halfspace_interval(fa, fb, lo, hi):
+        """f(s) = fa + s (fb - fa) >= 0 on [lo', hi'] intersect [lo, hi]."""
+        df = fb - fa
+        s_cross = -fa / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
+        # if df > 0: feasible s >= s_cross; if df < 0: s <= s_cross;
+        # if df == 0: feasible everywhere (fa >= 0) or nowhere.
+        new_lo = jnp.where(df > 0, jnp.maximum(lo, s_cross), lo)
+        new_hi = jnp.where(df < 0, jnp.minimum(hi, s_cross), hi)
+        infeasible = (jnp.abs(df) < 1e-12) & (fa < 0)
+        new_hi = jnp.where(infeasible, new_lo - 1.0, new_hi)
+        return new_lo, new_hi
+
+    s_lo = jnp.zeros((M,))
+    s_hi = jnp.ones((M,))
+    # z >= znear
+    s_lo, s_hi = halfspace_interval(a[:, 2] - znear, b[:, 2] - znear, s_lo, s_hi)
+    # tan*z - x >= 0
+    s_lo, s_hi = halfspace_interval(
+        tan_half_fov * a[:, 2] - a[:, 0], tan_half_fov * b[:, 2] - b[:, 0],
+        s_lo, s_hi,
+    )
+    # tan*z + x >= 0
+    s_lo, s_hi = halfspace_interval(
+        tan_half_fov * a[:, 2] + a[:, 0], tan_half_fov * b[:, 2] + b[:, 0],
+        s_lo, s_hi,
+    )
+    pa = a + s_lo[:, None] * d                   # clipped visible endpoints
+    pb = a + s_hi[:, None] * d
+    vis_len = jnp.where(s_hi > s_lo, jnp.linalg.norm(pb - pa, axis=-1), 0.0)
+    near_dist = jnp.minimum(
+        jnp.linalg.norm(pa, axis=-1), jnp.linalg.norm(pb, axis=-1)
+    )
+    vis = world.valid & (vis_len >= min_vis_len) & (near_dist < max_range)
+
+    # Range-clip the far end so reported extents stay local.
+    too_far_b = jnp.linalg.norm(pb, axis=-1) > max_range
+    pb = jnp.where(
+        too_far_b[:, None],
+        pa + (pb - pa) * (
+            max_range / jnp.maximum(jnp.linalg.norm(pb - pa, axis=-1, keepdims=True), 1e-9)
+        ),
+        pb,
+    )
+    too_far_a = jnp.linalg.norm(pa, axis=-1) > max_range
+    pa = jnp.where(
+        too_far_a[:, None],
+        pb + (pa - pb) * (
+            max_range / jnp.maximum(jnp.linalg.norm(pa - pb, axis=-1, keepdims=True), 1e-9)
+        ),
+        pa,
+    )
+    mid_c = (pa + pb) / 2.0
 
     pis_w = world.planes()
     pis_c = plane.transform(pis_w, R_cw, t_cw)
-    e0_w = jnp.pad(world.p0, ((0, 0), (0, 1)))
-    e1_w = jnp.pad(world.p1, ((0, 0), (0, 1)))
-    e0_c = se3.se3_apply(R_cw, t_cw, e0_w)
-    e1_c = se3.se3_apply(R_cw, t_cw, e1_w)
 
     if noise_plane > 0.0 and key is not None:
         deltas = noise_plane * jax.random.normal(key, (M, 3))
@@ -267,7 +358,7 @@ def observe_frame(world: WallWorld, R_wc, t_wc, key=None,
     take = order[:max_det]
     planes_c = pis_c[take]
     centroid_c = mid_c[take]
-    endpoints_c = jnp.stack([e0_c[take], e1_c[take]], axis=1)
+    endpoints_c = jnp.stack([pa[take], pb[take]], axis=1)
     wall_id = jnp.where(vis[take], take, -1).astype(jnp.int32)
     valid = vis[take]
 

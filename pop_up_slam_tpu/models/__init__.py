@@ -1,0 +1,15 @@
+from .segmentation import (
+    SegNetLite,
+    classical_ground_mask,
+    create_train_state,
+    train_step,
+    predict_mask,
+)
+
+__all__ = [
+    "SegNetLite",
+    "classical_ground_mask",
+    "create_train_state",
+    "train_step",
+    "predict_mask",
+]

@@ -1,0 +1,347 @@
+"""The per-frame plane-SLAM engine: the TPU-native analog of the
+reference's main ROS node loop (SURVEY.md §3.2; paper arXiv:1703.07334
+§IV).
+
+One jit-compiled :func:`slam_step` implements the whole per-frame
+update on fixed-shape state:
+
+1. accumulate odometry; predict the current pose,
+2. transform the frame's plane detections into the world frame,
+3. masked data association against the landmark store (assoc/),
+4. insert unmatched detections as new landmarks (mapping/),
+5. keyframe decision (translation/rotation thresholds) — on a
+   keyframe: slide the window, record the odometry factor and the
+   frame's plane factors, and re-solve the window with Gauss-Newton +
+   Schur elimination (solver/),
+6. update landmark extents / observation counts.
+
+Where the reference grows an iSAM graph incrementally and calls
+``slam.update()`` (incremental QR), this engine re-solves a fixed-lag
+sliding window each keyframe — the whole step is one XLA program with
+no data-dependent shapes; the keyframe branch runs under ``lax.cond``
+so non-keyframes cost almost nothing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assoc import AssocConfig, associate_detections
+from ..factors.graph import (
+    Factors,
+    OdomFactors,
+    PlaneFactors,
+    PosePriors,
+    Window,
+)
+from ..geometry import plane as plane_mod
+from ..geometry import se3
+from ..mapping import LandmarkStore, insert_landmarks, update_extents
+from ..popup.popup import PopupPlanes
+from ..solver import gn_solve
+
+
+class SlamConfig(NamedTuple):
+    window_size: int = 8
+    max_landmarks: int = 64
+    max_det: int = 9              # wall detections + ground slot
+    kf_trans: float = 0.25        # m — keyframe translation threshold
+    kf_rot: float = 0.15          # rad — keyframe rotation threshold
+    gn_iters: int = 4
+    damping: float = 1e-5
+    odom_sigma_t: float = 0.03    # m
+    odom_sigma_r: float = 0.01    # rad
+    plane_sigma_n: float = 0.015  # rad — normal-direction noise
+    plane_sigma_d: float = 0.02   # m — plane-distance noise
+    min_obs_for_extent: int = 1
+    assoc: AssocConfig = AssocConfig()
+
+
+class FrameDetections(NamedTuple):
+    """Per-frame plane detections in the *camera* frame, fixed capacity D.
+
+    planes_c    : (D, 4) unit planes.
+    centroid_c  : (D, 3) representative on-plane point (distance gate).
+    endpoints_c : (D, 2, 3) ground-line endpoints (overlap gate/extents).
+    valid       : (D,) bool.
+    """
+
+    planes_c: jnp.ndarray
+    centroid_c: jnp.ndarray
+    endpoints_c: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class SlamState(NamedTuple):
+    window: Window               # W poses + L plane landmarks (+ masks)
+    store: LandmarkStore         # L extents / counts
+    pf_pi: jnp.ndarray           # (W, D, 4) plane measurements per slot
+    pf_lm: jnp.ndarray           # (W, D) int32 landmark index
+    pf_valid: jnp.ndarray        # (W, D) bool
+    odom_R: jnp.ndarray          # (W-1, 3, 3) between-kf measurements
+    odom_t: jnp.ndarray          # (W-1, 3)
+    odom_valid: jnp.ndarray      # (W-1,) bool
+    acc_R: jnp.ndarray           # accumulated odometry since last kf
+    acc_t: jnp.ndarray
+    n_kf: jnp.ndarray            # () int32 — total keyframes so far
+    frame: jnp.ndarray           # () int32 — total frames so far
+
+
+def detections_from_popup(
+    res: PopupPlanes, R_wc: jnp.ndarray, t_wc: jnp.ndarray, max_det: int
+) -> FrameDetections:
+    """Pack a pop-up result (walls + the ground plane) into camera-frame
+    FrameDetections, using the pose that produced the pop-up to express
+    wall endpoints in the camera frame.  The last slot carries the
+    ground plane; its centroid is the foot of the camera (closest
+    ground point) and its endpoints are degenerate (the overlap gate
+    disables itself for horizontal planes)."""
+    S = res.planes_c.shape[0]
+    assert max_det >= S + 1
+    pad = max_det - (S + 1)
+    R_cw, t_cw = se3.se3_inverse(R_wc, t_wc)
+
+    ground_c = res.ground_c
+    n, d = plane_mod.to_hessian_normal(ground_c)
+    foot_c = -d[..., None] * n
+
+    ep_c = se3.se3_apply(R_cw, t_cw, res.endpoints_w)
+
+    planes = jnp.concatenate(
+        [res.planes_c, ground_c[None], jnp.zeros((pad, 4), res.planes_c.dtype)]
+    )
+    centroids = jnp.concatenate(
+        [res.centroid_c, foot_c[None], jnp.zeros((pad, 3), res.centroid_c.dtype)]
+    )
+    eps = jnp.concatenate(
+        [ep_c, jnp.stack([foot_c, foot_c])[None], jnp.zeros((pad, 2, 3), ep_c.dtype)]
+    )
+    valid = jnp.concatenate(
+        [res.valid, jnp.ones((1,), bool), jnp.zeros((pad,), bool)]
+    )
+    return FrameDetections(planes, centroids, eps, valid)
+
+
+def slam_init(cfg: SlamConfig, R0: jnp.ndarray, t0: jnp.ndarray) -> SlamState:
+    """Fresh state anchored at the initial pose (slot 0, gauge-fixed)."""
+    W, L, D = cfg.window_size, cfg.max_landmarks, cfg.max_det
+    w0 = Window.empty(W, L)
+    window = w0._replace(
+        R=w0.R.at[0].set(R0),
+        t=w0.t.at[0].set(t0),
+        pose_valid=w0.pose_valid.at[0].set(True),
+        pose_fixed=w0.pose_fixed.at[0].set(True),
+    )
+    return SlamState(
+        window=window,
+        store=LandmarkStore.empty(L),
+        pf_pi=jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0, 0.0]), (W, D, 4)
+        ),
+        pf_lm=jnp.zeros((W, D), jnp.int32),
+        pf_valid=jnp.zeros((W, D), bool),
+        odom_R=jnp.broadcast_to(jnp.eye(3), (W - 1, 3, 3)),
+        odom_t=jnp.zeros((W - 1, 3)),
+        odom_valid=jnp.zeros((W - 1,), bool),
+        acc_R=jnp.eye(3),
+        acc_t=jnp.zeros((3,)),
+        n_kf=jnp.asarray(1, jnp.int32),
+        frame=jnp.asarray(0, jnp.int32),
+    )
+
+
+def current_pose(state: SlamState):
+    """Predicted world-from-camera pose of the *current* frame: the last
+    keyframe's optimized pose composed with accumulated odometry."""
+    W = state.window.window_size
+    slot = jnp.clip(state.n_kf - 1, 0, W - 1)
+    R_kf = state.window.R[slot]
+    t_kf = state.window.t[slot]
+    return se3.se3_compose(R_kf, t_kf, state.acc_R, state.acc_t)
+
+
+def _build_factors(state: SlamState, cfg: SlamConfig) -> Factors:
+    W, D = state.pf_valid.shape
+    dtype = state.window.t.dtype
+
+    inv_t = 1.0 / cfg.odom_sigma_t
+    inv_r = 1.0 / cfg.odom_sigma_r
+    odom_sqrt = jnp.diag(
+        jnp.array([inv_t] * 3 + [inv_r] * 3, dtype)
+    )
+    odom = OdomFactors(
+        i=jnp.arange(W - 1, dtype=jnp.int32),
+        j=jnp.arange(1, W, dtype=jnp.int32),
+        R_meas=state.odom_R,
+        t_meas=state.odom_t,
+        sqrt_info=jnp.broadcast_to(odom_sqrt, (W - 1, 6, 6)),
+        valid=state.odom_valid,
+    )
+    plane_sqrt = jnp.diag(
+        jnp.array(
+            [1.0 / cfg.plane_sigma_n, 1.0 / cfg.plane_sigma_n,
+             1.0 / cfg.plane_sigma_d],
+            dtype,
+        )
+    )
+    planes = PlaneFactors(
+        pose_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), D),
+        lm_idx=state.pf_lm.reshape(-1),
+        pi_meas=state.pf_pi.reshape(-1, 4),
+        sqrt_info=jnp.broadcast_to(plane_sqrt, (W * D, 3, 3)),
+        valid=state.pf_valid.reshape(-1),
+    )
+    return Factors(odom=odom, planes=planes, priors=PosePriors.empty(1))
+
+
+def _keyframe_update(state: SlamState, det: FrameDetections,
+                     cfg: SlamConfig) -> SlamState:
+    """Insert the current frame as a keyframe and re-solve the window."""
+    W = cfg.window_size
+    window, store = state.window, state.store
+
+    pred_R, pred_t = current_pose(state)
+
+    # --- detections -> world frame (at the predicted pose) ---
+    planes_w = plane_mod.transform_to_world(det.planes_c, pred_R, pred_t)
+    centroid_w = se3.se3_apply(pred_R, pred_t, det.centroid_c)
+    endpoints_w = se3.se3_apply(pred_R, pred_t, det.endpoints_c)
+
+    # --- data association ---
+    assoc = associate_detections(
+        planes_w, centroid_w, endpoints_w, det.valid,
+        window.planes, store.endpoints_w, window.lm_valid,
+        cfg.assoc,
+    )
+
+    # --- new landmark insertion ---
+    store, new_slot = insert_landmarks(
+        store, assoc.is_new, endpoints_w, state.n_kf
+    )
+    created = new_slot >= 0
+    # Scatter with a sentinel index + mode='drop' for non-created
+    # detections: a clipped duplicate index would let their no-op write
+    # race with (and clobber) a real insert at the same slot.
+    drop_new = jnp.where(created, new_slot, cfg.max_landmarks)
+    lm_planes = window.planes.at[drop_new].set(planes_w, mode="drop")
+    lm_valid = window.lm_valid.at[drop_new].set(True, mode="drop")
+    window = window._replace(planes=lm_planes, lm_valid=lm_valid)
+    safe_new = jnp.clip(new_slot, 0, cfg.max_landmarks - 1)
+
+    matched = assoc.match_lm >= 0
+    lm_idx = jnp.where(matched, assoc.match_lm, safe_new.astype(jnp.int32))
+    factor_valid = det.valid & (matched | created)
+
+    # --- extent / count update for matched landmarks ---
+    store = update_extents(
+        store, jnp.clip(assoc.match_lm, 0, cfg.max_landmarks - 1),
+        endpoints_w, matched, window.planes,
+    )
+
+    # --- slide the window when full ---
+    full = state.n_kf >= W
+
+    def rolled(w, o_R, o_t, o_v, p_pi, p_lm, p_v):
+        w2 = w._replace(
+            R=jnp.roll(w.R, -1, axis=0),
+            t=jnp.roll(w.t, -1, axis=0),
+            pose_valid=jnp.roll(w.pose_valid, -1, axis=0),
+        )
+        return (
+            w2,
+            jnp.roll(o_R, -1, axis=0), jnp.roll(o_t, -1, axis=0),
+            jnp.roll(o_v, -1, axis=0).at[-1].set(False),
+            jnp.roll(p_pi, -1, axis=0), jnp.roll(p_lm, -1, axis=0),
+            jnp.roll(p_v, -1, axis=0).at[-1].set(False),
+        )
+
+    w_r, oR_r, ot_r, ov_r, pi_r, plm_r, pv_r = rolled(
+        window, state.odom_R, state.odom_t, state.odom_valid,
+        state.pf_pi, state.pf_lm, state.pf_valid,
+    )
+
+    def pick(a, b):
+        return jax.tree.map(
+            lambda x, y: jnp.where(
+                jnp.reshape(full, (1,) * x.ndim), x, y
+            ),
+            a, b,
+        )
+
+    window = pick(w_r, window)
+    odom_R = pick(oR_r, state.odom_R)
+    odom_t = pick(ot_r, state.odom_t)
+    odom_valid = pick(ov_r, state.odom_valid)
+    pf_pi = pick(pi_r, state.pf_pi)
+    pf_lm = pick(plm_r, state.pf_lm)
+    pf_valid = pick(pv_r, state.pf_valid)
+
+    # --- write the new keyframe into its slot ---
+    slot = jnp.clip(state.n_kf, 0, W - 1)     # after roll: W-1 when full
+    window = window._replace(
+        R=window.R.at[slot].set(pred_R),
+        t=window.t.at[slot].set(pred_t),
+        pose_valid=window.pose_valid.at[slot].set(True),
+    )
+    oslot = jnp.clip(slot - 1, 0, W - 2)
+    odom_R = odom_R.at[oslot].set(state.acc_R)
+    odom_t = odom_t.at[oslot].set(state.acc_t)
+    odom_valid = odom_valid.at[oslot].set(True)
+
+    pf_pi = pf_pi.at[slot].set(det.planes_c)
+    pf_lm = pf_lm.at[slot].set(lm_idx)
+    pf_valid = pf_valid.at[slot].set(factor_valid)
+
+    state = state._replace(
+        window=window, store=store,
+        pf_pi=pf_pi, pf_lm=pf_lm, pf_valid=pf_valid,
+        odom_R=odom_R, odom_t=odom_t, odom_valid=odom_valid,
+    )
+
+    # --- windowed bundle adjustment ---
+    factors = _build_factors(state, cfg)
+    window_opt, _ = gn_solve(
+        state.window, factors, iters=cfg.gn_iters, damping=cfg.damping
+    )
+
+    return state._replace(
+        window=window_opt,
+        acc_R=jnp.eye(3, dtype=state.acc_R.dtype),
+        acc_t=jnp.zeros((3,), state.acc_t.dtype),
+        n_kf=state.n_kf + 1,
+    )
+
+
+def slam_step(
+    state: SlamState,
+    det: FrameDetections,
+    odom_R: jnp.ndarray,
+    odom_t: jnp.ndarray,
+    cfg: SlamConfig,
+):
+    """Process one frame.  Returns (state, (R_wc, t_wc) current pose).
+
+    ``odom_R/odom_t`` is the relative motion measurement from the
+    previous frame (visual/wheel odometry or a constant-velocity
+    prior's delta).  Keyframe work runs under ``lax.cond``.
+    """
+    acc_R, acc_t = se3.se3_compose(state.acc_R, state.acc_t, odom_R, odom_t)
+    state = state._replace(
+        acc_R=acc_R, acc_t=acc_t, frame=state.frame + 1
+    )
+
+    dist = jnp.linalg.norm(acc_t)
+    ang = jnp.linalg.norm(se3.so3_log(acc_R))
+    is_kf = (dist > cfg.kf_trans) | (ang > cfg.kf_rot)
+
+    state = jax.lax.cond(
+        is_kf,
+        lambda s: _keyframe_update(s, det, cfg),
+        lambda s: s,
+        state,
+    )
+    R, t = current_pose(state)
+    return state, (R, t)

@@ -1,0 +1,385 @@
+"""Single-image "pop-up": ground-wall boundary -> 3D wall planes + depth.
+
+TPU-native re-design of the reference's ``pop_up_wall/popup_plane``
+(SURVEY.md §2.1, §3.4; paper arXiv:1703.07334 §III): the reference runs
+OpenCV contour extraction + line-segment fitting + polygon ops on the
+CPU; here the whole front-end is a fixed-shape, column-parallel jax
+program:
+
+1. **Boundary extraction** — for every image column, the topmost ground
+   pixel is the ground-wall boundary sample (vectorized argmin, no
+   contours).
+2. **Inverse projection** — boundary pixels are cast onto the world
+   ground plane z=0 given the camera pose prior (gravity-aligned
+   orientation + height, exactly the paper's single-view assumption).
+3. **Polyline segmentation** — corner detection on the smoothed world-
+   space tangent direction with windowed non-max suppression; segment
+   ids by cumulative sum of break flags (never data-dependent shapes,
+   capacity ``max_segments`` with validity masks).
+4. **Wall plane fitting** — per-segment total-least-squares line fit in
+   world XY via masked segment-sums + closed-form 2x2 eigenvector; each
+   line erects a vertical wall plane.
+5. **Depth recovery** — every pixel gets the ray-plane depth of its
+   column's wall (above the boundary) or the ground (below); the Pallas
+   kernel in ``pop_up_slam_tpu.ops.depth_render`` is the TPU fast path
+   for this step and is tested against this implementation.
+
+Everything vmaps over a batch of frames (DP front-end sharding,
+SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam
+from ..geometry import plane as plane_mod
+from ..geometry import se3
+from ..geometry.camera import Intrinsics
+
+
+class PopupConfig(NamedTuple):
+    max_segments: int = 8
+    smooth_radius: int = 7          # columns, tangent estimation half-window
+    corner_angle: float = 0.5       # rad, break threshold on direction change
+    nms_radius: int = 9             # columns, corner non-max suppression
+    range_jump: float = 0.6         # m, occlusion break threshold
+    max_range: float = 15.0         # m, boundary points beyond are invalid
+    min_cols: int = 12              # min columns for a valid wall segment
+    wall_height: float = 2.5        # m, for output polygons only
+    min_boundary_rows: int = 2      # min ground pixels per column
+
+
+class PopupPlanes(NamedTuple):
+    """Fixed-capacity pop-up result for one frame.
+
+    planes_w     : (S, 4) world-frame wall planes (unit, canonical sign).
+    planes_c     : (S, 4) the same planes in the camera frame.
+    endpoints_w  : (S, 2, 3) ground-line endpoints (z=0) per wall.
+    centroid_c   : (S, 3) camera-frame centroid of the boundary points.
+    n_points     : (S,) int32 supporting boundary columns.
+    valid        : (S,) bool.
+    clipped      : (S, 2) bool — endpoint cut off by the view (the wall
+                   extends beyond the visible ground junction).
+    ground_c     : (4,) ground plane in the camera frame.
+    boundary_v   : (W,) f32 boundary row per column (image v).
+    boundary_ok  : (W,) bool.
+    seg_id       : (W,) int32 wall segment per column (-1 invalid).
+    """
+
+    planes_w: jnp.ndarray
+    planes_c: jnp.ndarray
+    endpoints_w: jnp.ndarray
+    centroid_c: jnp.ndarray
+    n_points: jnp.ndarray
+    valid: jnp.ndarray
+    clipped: jnp.ndarray
+    ground_c: jnp.ndarray
+    boundary_v: jnp.ndarray
+    boundary_ok: jnp.ndarray
+    seg_id: jnp.ndarray
+
+
+GROUND_LABEL = 1  # matches io.synthetic.LABEL_GROUND; binary masks: 1=ground
+
+
+def extract_boundary(ground_mask: jnp.ndarray, min_rows: int = 2):
+    """Per-column topmost ground pixel.
+
+    ground_mask: (H, W) bool.  Returns (v_boundary (W,) f32, ok (W,) bool).
+    """
+    H, W = ground_mask.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    big = jnp.int32(H + 1)
+    v_top = jnp.min(jnp.where(ground_mask, rows, big), axis=0)
+    count = jnp.sum(ground_mask, axis=0)
+    ok = (count >= min_rows) & (v_top < H)
+    return v_top.astype(jnp.float32), ok
+
+
+def _window_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sliding-window max over a 1-D array (edge-padded)."""
+    return -jax.lax.reduce_window(
+        -x[None, :], jnp.array(-jnp.inf, x.dtype), jax.lax.min,
+        (1, 2 * radius + 1), (1, 1), "SAME",
+    )[0] * -1.0 * -1.0  # reduce_window(min) of -x == -max(x)
+
+
+def _window_reduce_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x[None, :], jnp.array(-jnp.inf, x.dtype), jax.lax.max,
+        (1, 2 * radius + 1), (1, 1), "SAME",
+    )[0]
+
+
+def _angle_diff(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = a - b
+    return jnp.abs(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
+
+
+def segment_boundary(pts_w: jnp.ndarray, pt_ok: jnp.ndarray, cfg: PopupConfig):
+    """Split the world-space boundary polyline into straight segments.
+
+    pts_w: (W, 2) ground-plane XY per column; pt_ok: (W,) validity.
+    Returns seg_id (W,) int32 in [-1, max_segments).
+    """
+    Wd = pts_w.shape[0]
+    k = cfg.smooth_radius
+    # Smoothed tangent via symmetric difference of box-filtered points.
+    kernel = jnp.ones((2 * k + 1,), pts_w.dtype) / (2 * k + 1)
+    ok_f = pt_ok.astype(pts_w.dtype)
+    def box(x):
+        num = jnp.convolve(x * ok_f, kernel, mode="same")
+        den = jnp.convolve(ok_f, kernel, mode="same")
+        return num / jnp.maximum(den, 1e-6)
+    sx = box(pts_w[:, 0])
+    sy = box(pts_w[:, 1])
+    dx = jnp.roll(sx, -k) - jnp.roll(sx, k)
+    dy = jnp.roll(sy, -k) - jnp.roll(sy, k)
+    theta = jnp.arctan2(dy, dx)
+
+    # Direction change across the window.
+    dtheta = _angle_diff(jnp.roll(theta, -k), jnp.roll(theta, k))
+    # Occlusion / range jumps between neighbor columns.
+    step = jnp.linalg.norm(pts_w - jnp.roll(pts_w, 1, axis=0), axis=-1)
+    jump = step > cfg.range_jump
+    # Invalid -> valid transitions also start a new segment.
+    prev_ok = jnp.roll(pt_ok, 1)
+    fresh = pt_ok & (~prev_ok)
+
+    # Corner = local max of dtheta above threshold (windowed NMS).
+    local_max = dtheta >= _window_reduce_max(dtheta, cfg.nms_radius) - 1e-6
+    corner = (dtheta > cfg.corner_angle) & local_max & pt_ok
+
+    brk = (corner | jump | fresh) & pt_ok
+    brk = brk.at[0].set(pt_ok[0])
+    seg_raw = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    seg_id = jnp.where(pt_ok & (seg_raw >= 0) & (seg_raw < cfg.max_segments),
+                       seg_raw, -1)
+    return seg_id
+
+
+def fit_wall_planes(pts_w: jnp.ndarray, seg_id: jnp.ndarray, cfg: PopupConfig,
+                    pt_ok: jnp.ndarray | None = None):
+    """Per-segment TLS line fit in world XY -> vertical wall planes.
+
+    Returns (planes_w (S,4), endpoints_w (S,2,3), n_points (S,), valid (S,),
+    clipped (S,2) bool) — ``clipped[s, k]`` is True when endpoint k
+    (0 = the pmin end, 1 = the pmax end) of segment s abuts an image
+    edge or a column with no visible ground boundary, i.e. the wall's
+    ground junction is cut off by the view and the wall plausibly
+    extends beyond the fitted extent (used by depth rendering).
+    """
+    S = cfg.max_segments
+    Wd = pts_w.shape[0]
+    sid = jnp.where(seg_id >= 0, seg_id, S)  # invalid -> overflow bucket
+
+    ones = jnp.ones((Wd,), pts_w.dtype)
+    n = jax.ops.segment_sum(ones * (seg_id >= 0), sid, num_segments=S + 1)[:S]
+    sx = jax.ops.segment_sum(pts_w[:, 0], sid, num_segments=S + 1)[:S]
+    sy = jax.ops.segment_sum(pts_w[:, 1], sid, num_segments=S + 1)[:S]
+    sxx = jax.ops.segment_sum(pts_w[:, 0] ** 2, sid, num_segments=S + 1)[:S]
+    syy = jax.ops.segment_sum(pts_w[:, 1] ** 2, sid, num_segments=S + 1)[:S]
+    sxy = jax.ops.segment_sum(pts_w[:, 0] * pts_w[:, 1], sid, num_segments=S + 1)[:S]
+
+    n_safe = jnp.maximum(n, 1.0)
+    mx, my = sx / n_safe, sy / n_safe
+    cxx = sxx / n_safe - mx * mx
+    cyy = syy / n_safe - my * my
+    cxy = sxy / n_safe - mx * my
+
+    # Principal direction of the 2x2 covariance (closed form): the line
+    # direction is the eigenvector of the larger eigenvalue.
+    tr = cxx + cyy
+    dlt = jnp.sqrt(jnp.maximum((cxx - cyy) ** 2 + 4 * cxy ** 2, 0.0))
+    lam = 0.5 * (tr + dlt)
+    # eigenvector: (cxy, lam - cxx) unless degenerate, then (lam - cyy, cxy)
+    v1 = jnp.stack([cxy, lam - cxx], axis=-1)
+    v2 = jnp.stack([lam - cyy, cxy], axis=-1)
+    use2 = jnp.linalg.norm(v1, axis=-1) < 1e-9
+    d = jnp.where(use2[:, None], v2, v1)
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # fully degenerate (single point): fall back to x-direction
+    d = jnp.where(dn < 1e-9, jnp.array([1.0, 0.0]), d / jnp.maximum(dn, 1e-9))
+
+    # Vertical wall plane through (mx, my) with horizontal normal ⟂ d.
+    nrm = jnp.stack([d[:, 1], -d[:, 0], jnp.zeros_like(d[:, 0])], axis=-1)
+    off = -(nrm[:, 0] * mx + nrm[:, 1] * my)
+    planes_w = plane_mod.normalize(
+        jnp.concatenate([nrm, off[:, None]], axis=-1)
+    )
+
+    # Endpoints: min/max projection of the segment's points onto d.
+    proj = pts_w[:, 0] * d[sid.clip(0, S - 1), 0] + pts_w[:, 1] * d[sid.clip(0, S - 1), 1]
+    big = jnp.array(1e9, pts_w.dtype)
+    pmin = jax.ops.segment_min(jnp.where(seg_id >= 0, proj, big), sid, num_segments=S + 1)[:S]
+    pmax = jax.ops.segment_max(jnp.where(seg_id >= 0, proj, -big), sid, num_segments=S + 1)[:S]
+    mid_proj = mx * d[:, 0] + my * d[:, 1]
+    c = jnp.stack([mx, my], axis=-1)
+    e0 = c + (pmin - mid_proj)[:, None] * d
+    e1 = c + (pmax - mid_proj)[:, None] * d
+    endpoints_w = jnp.stack(
+        [jnp.pad(e0, ((0, 0), (0, 1))), jnp.pad(e1, ((0, 0), (0, 1)))], axis=1
+    )
+
+    # View-clipping detection per endpoint: find each segment's extreme
+    # columns; an endpoint is clipped when the neighboring column is off
+    # the image or has no visible ground boundary.
+    cols = jnp.arange(Wd, dtype=jnp.int32)
+    bigi = jnp.int32(Wd + 1)
+    umin = jax.ops.segment_min(jnp.where(seg_id >= 0, cols, bigi), sid, num_segments=S + 1)[:S]
+    umax = jax.ops.segment_max(jnp.where(seg_id >= 0, cols, -1), sid, num_segments=S + 1)[:S]
+    if pt_ok is None:
+        pt_ok = seg_id >= 0
+    ok_pad = jnp.concatenate([jnp.zeros((1,), bool), pt_ok, jnp.zeros((1,), bool)])
+    umin_c = jnp.clip(umin, 0, Wd - 1)
+    umax_c = jnp.clip(umax, 0, Wd - 1)
+    clip_left = ~ok_pad[umin_c]        # neighbor of umin is umin-1 -> index umin in padded
+    clip_right = ~ok_pad[umax_c + 2]   # neighbor of umax is umax+1 -> index umax+2
+    # Which projection endpoint does the left (umin) column correspond to?
+    proj_at_umin = proj[umin_c]
+    left_is_pmin = jnp.abs(proj_at_umin - pmin) <= jnp.abs(proj_at_umin - pmax)
+    clip_pmin = jnp.where(left_is_pmin, clip_left, clip_right)
+    clip_pmax = jnp.where(left_is_pmin, clip_right, clip_left)
+    clipped = jnp.stack([clip_pmin, clip_pmax], axis=-1)
+
+    valid = n >= cfg.min_cols
+    return planes_w, endpoints_w, n.astype(jnp.int32), valid, clipped
+
+
+def pop_up(
+    K: Intrinsics,
+    ground_mask: jnp.ndarray,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    cfg: PopupConfig = PopupConfig(),
+) -> PopupPlanes:
+    """Full single-image pop-up (BASELINE config 1; paper §III).
+
+    ground_mask: (H, W) bool — True on ground pixels (from the learned
+    or classical segmenter, or a dataset-provided mask).
+    (R_wc, t_wc): pose prior — only gravity alignment and camera height
+    matter for the single-view geometry, matching the paper.
+    """
+    H, Wd = ground_mask.shape
+    v_b, b_ok = extract_boundary(ground_mask, cfg.min_boundary_rows)
+
+    u = jnp.arange(Wd, dtype=jnp.float32)
+    uv = jnp.stack([u, v_b], axis=-1)
+    ground_w = jnp.array([0.0, 0.0, 1.0, 0.0])
+    pts3, proj_ok = cam.backproject_to_world_plane(K, uv, R_wc, t_wc, ground_w)
+    rng = jnp.linalg.norm(pts3 - t_wc, axis=-1)
+    pt_ok = b_ok & proj_ok & (rng < cfg.max_range)
+    pts_w = pts3[:, :2]
+
+    seg_id = segment_boundary(pts_w, pt_ok, cfg)
+    planes_w, endpoints_w, n_pts, valid, clipped = fit_wall_planes(
+        pts_w, seg_id, cfg, pt_ok
+    )
+
+    R_cw, t_cw = se3.se3_inverse(R_wc, t_wc)
+    planes_c = plane_mod.transform(planes_w, R_cw, t_cw)
+    ground_c = plane_mod.transform(ground_w, R_cw, t_cw)
+
+    # Camera-frame centroid of each wall's boundary points (for gating).
+    S = cfg.max_segments
+    sid = jnp.where(seg_id >= 0, seg_id, S)
+    pts_c = se3.se3_apply(R_cw, t_cw, pts3)
+    csum = jax.ops.segment_sum(
+        jnp.where((seg_id >= 0)[:, None], pts_c, 0.0), sid, num_segments=S + 1
+    )[:S]
+    centroid_c = csum / jnp.maximum(n_pts[:, None].astype(csum.dtype), 1.0)
+
+    return PopupPlanes(
+        planes_w=planes_w,
+        planes_c=planes_c,
+        endpoints_w=endpoints_w,
+        centroid_c=centroid_c,
+        n_points=n_pts,
+        valid=valid,
+        clipped=clipped,
+        ground_c=ground_c,
+        boundary_v=v_b,
+        boundary_ok=b_ok,
+        seg_id=seg_id,
+    )
+
+
+def depth_from_popup(
+    K: Intrinsics,
+    res: PopupPlanes,
+    ground_mask: jnp.ndarray,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    max_depth: float = 50.0,
+    wall_height: float = 2.5,
+    extent_pad: float = 0.5,
+) -> jnp.ndarray:
+    """Dense depth recovery from the popped-up plane model (paper §III's
+    "and a dense depth map from one image"; BASELINE config 1).
+
+    A z-buffer render of the popped-up world: every pixel ray is
+    intersected with *all* valid wall planes; a hit counts if it lands
+    within the wall's ground-line extent (padded) and height range, and
+    the nearest hit wins.  Ground pixels (per the segmentation mask)
+    take the ground-plane depth instead.  Rendering against all walls —
+    rather than only the wall of the pixel's own column — matters at
+    image edges, where a nearby wall fills the whole column and its
+    ground junction is outside the view.  Pure jnp reference; the
+    Pallas kernel ``ops.depth_render`` computes the same map tile-wise.
+    """
+    H, Wd = ground_mask.shape
+    uu, vv = jnp.meshgrid(jnp.arange(Wd, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    rays_c = cam.pixel_rays(K, jnp.stack([uu, vv], axis=-1))  # (H, W, 3)
+    rays_w = jnp.einsum("ij,hwj->hwi", R_wc, rays_c)
+
+    # Ground depth (camera-frame z == s because rays have unit z).
+    s_g, ok_g = cam.ray_plane_depth(rays_c, res.ground_c)
+
+    # Wall hits against every popped plane (world frame).
+    n = res.planes_w[:, :3]                                   # (S, 3)
+    d = res.planes_w[:, 3]
+    denom = jnp.einsum("si,hwi->hws", n, rays_w)
+    num = -(jnp.einsum("si,i->s", n, t_wc) + d)               # (S,)
+    safe_den = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    s_w = num[None, None, :] / safe_den                       # (H, W, S)
+    hit = t_wc[None, None, None, :] + s_w[..., None] * rays_w[:, :, None, :]
+
+    # Extent test along each wall's ground line (+ height range).
+    e0 = res.endpoints_w[:, 0, :2]                            # (S, 2)
+    e1 = res.endpoints_w[:, 1, :2]
+    seg = e1 - e0
+    seg_len = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12))
+    d_unit = seg / seg_len[:, None]
+    u_par = jnp.einsum(
+        "hwsi,si->hws", hit[..., :2] - e0[None, None, :, :], d_unit
+    )
+    # View-clipped endpoints extend far beyond the fitted extent (the
+    # wall's ground junction is outside the image, e.g. a nearby wall
+    # filling the whole column height).
+    far = jnp.asarray(max_depth, u_par.dtype)
+    lo_pad = jnp.where(res.clipped[:, 0], far, extent_pad)    # (S,)
+    hi_pad = jnp.where(res.clipped[:, 1], far, extent_pad)
+    in_extent = (u_par >= -lo_pad[None, None, :]) & (
+        u_par <= (seg_len + hi_pad)[None, None, :]
+    )
+    z_ok = (hit[..., 2] >= -0.1) & (hit[..., 2] <= wall_height + 0.1)
+    wall_ok = (
+        (s_w > 1e-6)
+        & (jnp.abs(denom) >= 1e-9)
+        & in_extent
+        & z_ok
+        & res.valid[None, None, :]
+    )
+    s_w = jnp.where(wall_ok, s_w, jnp.inf)
+    s_wall = jnp.min(s_w, axis=-1)                            # (H, W)
+
+    ground_px = ground_mask & ok_g
+    depth = jnp.where(
+        ground_px, s_g, jnp.where(jnp.isinf(s_wall), max_depth, s_wall)
+    )
+    return jnp.clip(depth, 0.0, max_depth)

@@ -1,0 +1,143 @@
+"""TUM sequence runner: full monocular plane SLAM on real data
+(BASELINE config 3; reference: the plane_slam ROS node driven by a TUM
+rosbag, SURVEY.md §3.2).
+
+Odometry source: TUM provides no wheel odometry, and the reference
+leans on external odometry / LSD-SLAM for pose priors (paper
+arXiv:1703.07334 §V; SURVEY.md §7 hard part #3).  Supported modes:
+
+- ``gt_perturb`` (default): relative poses from ground truth with
+  configurable noise — the controlled-baseline mode documented in
+  SURVEY.md; ATE then measures how much the plane map corrects the
+  injected drift.
+- ``constant_velocity``: dead-reckoning prior from the previous
+  relative estimate (no external signal).
+
+Segmentation source: precomputed masks in ``seg/`` when present,
+otherwise the classical floor-color model.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def run_tum_sequence(cfg, odometry: str = "gt_perturb",
+                     odom_sigma_t: float = 0.01,
+                     odom_sigma_r: float = 0.003,
+                     max_frames: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from ..evaluation import ate_rmse
+    from ..geometry import se3
+    from ..geometry.camera import Intrinsics
+    from ..io import tum
+    from ..models import classical_ground_mask
+    from ..pipeline import (
+        detections_from_popup,
+        current_pose,
+        slam_init,
+        slam_step,
+    )
+    from ..popup import popup as pp
+    from ..utils import MetricsLogger, StageTimer
+
+    seq = tum.load_sequence(cfg.sequence_dir)
+    K = Intrinsics.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    scfg = cfg.slam
+
+    pairs, gt_R, gt_t = tum.gt_poses_at(seq, seq.rgb_stamps)
+    frame_ids = [i for i, _ in pairs]
+    if max_frames:
+        frame_ids = frame_ids[:max_frames]
+        gt_R, gt_t = gt_R[:len(frame_ids)], gt_t[:len(frame_ids)]
+    n = len(frame_ids)
+    if n < 2:
+        raise RuntimeError("no gt-associated frames in sequence")
+
+    rng = np.random.default_rng(cfg.seed)
+
+    state = slam_init(scfg, jnp.asarray(gt_R[0], jnp.float32),
+                      jnp.asarray(gt_t[0], jnp.float32))
+
+    @jax.jit
+    def step(state, mask, oR, ot):
+        pred_R, pred_t = current_pose(state)
+        res = pp.pop_up(K, mask, pred_R, pred_t, cfg.popup)
+        det = detections_from_popup(res, pred_R, pred_t, scfg.max_det)
+        state, (R, t) = slam_step(state, det, oR, ot, scfg)
+        return state, (R, t)
+
+    logger = MetricsLogger(cfg.metrics_path or None)
+    timer = StageTimer()
+    est_R = [gt_R[0]]
+    est_t = [gt_t[0]]
+    prev_rel = (np.eye(3), np.zeros(3))
+    t_start = time.perf_counter()
+    for k in range(1, n):
+        i = frame_ids[k]
+        timer.start("io")
+        rgb = tum.load_image(seq, seq.rgb_files[i])
+        if seq.seg_files and seq.seg_files[i]:
+            mask = tum.load_image(seq, seq.seg_files[i]) > 127
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+        else:
+            mask = np.asarray(
+                classical_ground_mask(jnp.asarray(rgb))
+            )
+        timer.stop()
+
+        if odometry == "gt_perturb":
+            Ra, ta = gt_R[k - 1], gt_t[k - 1]
+            Rb, tb = gt_R[k], gt_t[k]
+            Rrel = Ra.T @ Rb
+            trel = Ra.T @ (tb - ta)
+            xi = np.concatenate([
+                rng.normal(0, odom_sigma_t, 3),
+                rng.normal(0, odom_sigma_r, 3),
+            ])
+            import jax.numpy as _j
+
+            dR, dt = jax.tree.map(
+                np.asarray, jax.jit(se3.se3_exp)(_j.asarray(xi, _j.float32))
+            )
+            Rrel, trel = Rrel @ dR, Rrel @ dt + trel
+        elif odometry == "constant_velocity":
+            Rrel, trel = prev_rel
+        else:
+            raise ValueError(odometry)
+
+        timer.start("slam")
+        state, (R, t) = step(
+            state, jnp.asarray(mask),
+            jnp.asarray(Rrel, jnp.float32), jnp.asarray(trel, jnp.float32),
+        )
+        jax.block_until_ready(t)
+        timer.stop()
+
+        R_np, t_np = np.asarray(R), np.asarray(t)
+        prev_rel = (est_R[-1].T @ R_np, est_R[-1].T @ (t_np - est_t[-1]))
+        est_R.append(R_np)
+        est_t.append(t_np)
+        logger.log(frame=int(i), n_kf=int(state.n_kf))
+    wall = time.perf_counter() - t_start
+
+    ate, _, _ = ate_rmse(gt_t[:n], np.stack(est_t))
+    if cfg.out_trajectory:
+        stamps = [float(seq.rgb_stamps[i]) for i in frame_ids]
+        tum.write_trajectory(cfg.out_trajectory, stamps,
+                             np.stack(est_R), np.stack(est_t))
+    logger.close()
+    return {
+        "config": cfg.name,
+        "sequence": cfg.sequence_dir,
+        "frames": n,
+        "odometry": odometry,
+        "ate_rmse_m": round(float(ate), 4),
+        "frames_per_s": round((n - 1) / wall, 2),
+        "stage_timing": timer.summary(),
+    }

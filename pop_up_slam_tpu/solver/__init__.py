@@ -1,0 +1,13 @@
+from .schur import solve_schur, solve_dense, inv3x3, SchurSolution
+from .gauss_newton import gn_solve, lm_solve, apply_update, SolveStats
+
+__all__ = [
+    "solve_schur",
+    "solve_dense",
+    "inv3x3",
+    "SchurSolution",
+    "gn_solve",
+    "lm_solve",
+    "apply_update",
+    "SolveStats",
+]

@@ -1,0 +1,114 @@
+"""Windowed Gauss-Newton / Levenberg-Marquardt over poses + planes.
+
+Replaces iSAM's incremental update/batch_optimization cycle (SURVEY.md
+§3.3) with a fixed-iteration-count re-solve of the sliding window —
+cheap on TPU because the whole loop is one jit-compiled ``lax.scan``
+with static shapes.
+
+Two drivers:
+
+- :func:`gn_solve`  — K damped Gauss-Newton iterations (fixed damping).
+- :func:`lm_solve`  — Levenberg-Marquardt with accept/reject and
+  adaptive lambda, still fixed iteration count (rejected steps keep the
+  state and raise lambda — branch-free via ``jnp.where``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.graph import Factors, Window, linearize, total_cost
+from ..geometry import se3, plane as plane_mod
+from .schur import solve_schur
+
+
+class SolveStats(NamedTuple):
+    cost_history: jnp.ndarray   # (K+1,) cost before each iter + final
+    step_norms: jnp.ndarray     # (K,)
+    lambdas: jnp.ndarray        # (K,)
+    accepted: jnp.ndarray       # (K,) bool (always True for GN)
+
+
+def apply_update(window: Window, dxp: jnp.ndarray, dxl: jnp.ndarray) -> Window:
+    """Retract pose and landmark updates onto the manifold."""
+    R_new, t_new = se3.se3_retract(window.R, window.t, dxp)
+    free = (window.pose_valid & (~window.pose_fixed))[:, None]
+    R_new = jnp.where(free[..., None], R_new, window.R)
+    t_new = jnp.where(free, t_new, window.t)
+    planes_new = plane_mod.retract(window.planes, dxl)
+    planes_new = jnp.where(window.lm_valid[:, None], planes_new, window.planes)
+    return window._replace(R=R_new, t=t_new, planes=planes_new)
+
+
+def gn_solve(
+    window: Window,
+    factors: Factors,
+    iters: int = 5,
+    damping: float = 1e-6,
+    solve_fn=solve_schur,
+):
+    """Fixed-iteration damped Gauss-Newton. Returns (window, SolveStats)."""
+
+    def step(w, _):
+        lin = linearize(w, factors)
+        sol = solve_fn(lin, w, damping)
+        w2 = apply_update(w, sol.dxp, sol.dxl)
+        sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
+        return w2, (lin.cost, sn)
+
+    window, (costs, step_norms) = jax.lax.scan(
+        step, window, None, length=iters
+    )
+    final_cost = total_cost(window, factors)
+    return window, SolveStats(
+        cost_history=jnp.concatenate([costs, final_cost[None]]),
+        step_norms=step_norms,
+        lambdas=jnp.full((iters,), damping),
+        accepted=jnp.ones((iters,), bool),
+    )
+
+
+def lm_solve(
+    window: Window,
+    factors: Factors,
+    iters: int = 8,
+    lam0: float = 1e-4,
+    lam_up: float = 10.0,
+    lam_down: float = 0.3,
+    solve_fn=solve_schur,
+):
+    """Levenberg-Marquardt with branch-free accept/reject."""
+
+    def step(carry, _):
+        w, lam, cost = carry
+        lin = linearize(w, factors)
+        sol = solve_fn(lin, w, lam)
+        w_try = apply_update(w, sol.dxp, sol.dxl)
+        cost_try = total_cost(w_try, factors)
+        accept = cost_try < cost
+        w_next = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(accept, (1,) * a.ndim), a, b
+            ),
+            w_try,
+            w,
+        )
+        lam_next = jnp.where(accept, lam * lam_down, lam * lam_up)
+        lam_next = jnp.clip(lam_next, 1e-9, 1e6)
+        cost_next = jnp.where(accept, cost_try, cost)
+        sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
+        return (w_next, lam_next, cost_next), (cost, sn, lam, accept)
+
+    cost0 = total_cost(window, factors)
+    (window, _, final_cost), (costs, step_norms, lambdas, accepted) = (
+        jax.lax.scan(step, (window, jnp.asarray(lam0), cost0), None, length=iters)
+    )
+    return window, SolveStats(
+        cost_history=jnp.concatenate([costs, final_cost[None]]),
+        step_norms=step_norms,
+        lambdas=lambdas,
+        accepted=accepted,
+    )

@@ -1,0 +1,154 @@
+"""Schur-complement elimination of plane landmarks + reduced-system solve.
+
+This is the TPU-native replacement for iSAM's incremental sparse QR
+(SURVEY.md §3.3 / §7 "Schur structure is the kernel target"): with
+H = [[Hpp, Hpl], [Hpl^T, Hll]] and Hll block-diagonal 3x3 per plane,
+the landmarks are eliminated in closed form:
+
+    S  = Hpp - Hpl Hll^-1 Hpl^T          (reduced camera system)
+    rp = bp  - Hpl Hll^-1 bl
+    S dxp = -rp ;   dxl = -Hll^-1 (bl + Hpl^T dxp)
+
+Shapes are fixed (W poses x L landmarks); invalid/gauge-fixed blocks
+are masked.  The batched 3x3 inverses use the closed-form adjugate.
+The blocked-GEMM accumulation of S and the reduced-system Cholesky have
+Pallas implementations in ``pop_up_slam_tpu.ops``; this module is the
+reference path (pure jnp) they are tested against, and dispatches to
+them when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.graph import Linearization, Window
+
+
+def inv3x3(A: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse via the adjugate. A: (..., 3, 3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A00, A01, A02], -1),
+            jnp.stack([A10, A11, A12], -1),
+            jnp.stack([A20, A21, A22], -1),
+        ],
+        -2,
+    )
+    return adj / safe[..., None, None]
+
+
+class SchurSolution(NamedTuple):
+    dxp: jnp.ndarray  # (W, 6) pose updates
+    dxl: jnp.ndarray  # (L, 3) landmark updates
+    S: jnp.ndarray    # (6W, 6W) reduced camera system (diagnostics/tests)
+
+
+def solve_schur(
+    lin: Linearization,
+    window: Window,
+    damping: float | jnp.ndarray = 1e-6,
+) -> SchurSolution:
+    """Eliminate landmarks, solve the reduced pose system, back-substitute.
+
+    Gauge handling: rows/cols of gauge-fixed or invalid poses are masked
+    out of S and replaced by identity diagonal (their update is 0); the
+    same for invalid landmarks in Hll.
+    """
+    W, L = lin.bp.shape[0], lin.bl.shape[0]
+    dtype = lin.bp.dtype
+    lam = jnp.asarray(damping, dtype)
+
+    # Landmark block inverses with damping; invalid landmarks -> identity.
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hll = lin.Hll + lam * eye3
+    lm_mask = window.lm_valid
+    Hll = jnp.where(lm_mask[:, None, None], Hll, eye3)
+    Hll_inv = inv3x3(Hll)
+
+    # Schur complement: S = Hpp - Hpl Hll^-1 Hpl^T (blocked einsum — the
+    # Pallas kernel computes the same contraction tile-wise in VMEM).
+    HplWinv = jnp.einsum("wlab,lbc->wlac", lin.Hpl, Hll_inv)
+    S_blocks = lin.Hpp - jnp.einsum("wlac,vlbc->wvab", HplWinv, lin.Hpl)
+    rp = lin.bp - jnp.einsum("wlab,lb->wa", HplWinv, lin.bl)
+
+    # Damping on the pose diagonal.
+    eye6 = jnp.eye(6, dtype=dtype)
+    diag_ix = jnp.arange(W)
+    S_blocks = S_blocks.at[diag_ix, diag_ix].add(lam * eye6)
+
+    # Mask gauge-fixed / invalid poses.
+    free = window.pose_valid & (~window.pose_fixed)
+    pm = free.astype(dtype)
+    S_blocks = S_blocks * pm[:, None, None, None] * pm[None, :, None, None]
+    S_blocks = S_blocks.at[diag_ix, diag_ix].add(
+        (1.0 - pm)[:, None, None] * eye6
+    )
+    rp = rp * pm[:, None]
+
+    # Dense solve of the reduced system via Cholesky.
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+    rp_flat = rp.reshape(6 * W)
+    chol = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(chol, -rp_flat, lower=True)
+    dxp_flat = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    dxp = dxp_flat.reshape(W, 6) * pm[:, None]
+
+    # Back-substitute landmarks: dxl = -Hll^-1 (bl + Hpl^T dxp).
+    rhs = lin.bl + jnp.einsum("wlab,wa->lb", lin.Hpl, dxp)
+    dxl = -jnp.einsum("lab,lb->la", Hll_inv, rhs)
+    dxl = dxl * lm_mask[:, None].astype(dtype)
+
+    return SchurSolution(dxp, dxl, S)
+
+
+def solve_dense(lin: Linearization, window: Window, damping=1e-6):
+    """Reference: solve the full (6W + 3L) dense system without Schur.
+
+    Used only in tests to validate the Schur path (SURVEY.md §4 item 1).
+    """
+    W, L = lin.bp.shape[0], lin.bl.shape[0]
+    dtype = lin.bp.dtype
+    n = 6 * W + 3 * L
+    H = jnp.zeros((n, n), dtype)
+    H = H.at[: 6 * W, : 6 * W].set(
+        lin.Hpp.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+    )
+    H = H.at[: 6 * W, 6 * W :].set(
+        lin.Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * L)
+    )
+    H = H.at[6 * W :, : 6 * W].set(
+        lin.Hpl.transpose(0, 2, 1, 3).reshape(6 * W, 3 * L).T
+    )
+    Hll = jax.scipy.linalg.block_diag(*[lin.Hll[i] for i in range(L)])
+    H = H.at[6 * W :, 6 * W :].set(Hll)
+    b = jnp.concatenate([lin.bp.reshape(-1), lin.bl.reshape(-1)])
+
+    free_p = (window.pose_valid & (~window.pose_fixed))
+    mask = jnp.concatenate(
+        [
+            jnp.repeat(free_p, 6),
+            jnp.repeat(window.lm_valid, 3),
+        ]
+    ).astype(dtype)
+    H = H * mask[:, None] * mask[None, :]
+    H = H + jnp.diag((1.0 - mask) + mask * damping)
+    b = b * mask
+    dx = jnp.linalg.solve(H, -b)
+    return dx[: 6 * W].reshape(W, 6), dx[6 * W :].reshape(L, 3)

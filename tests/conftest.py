@@ -1,9 +1,49 @@
 """Test configuration: run the whole suite on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes (SURVEY.md §4 item 4).
+XLA flags must be set before jax initializes (SURVEY.md §4 item 4).  On
+this image a sitecustomize on PYTHONPATH registers a TPU ("axon") PJRT
+backend at *interpreter startup*, before conftest runs — setting env
+vars here is too late.  When that happens we re-exec pytest once with a
+scrubbed environment so the suite runs on the 8-device CPU mesh it was
+written for (TPU execution is exercised by bench.py, not the unit
+suite).
 """
 
 import os
+import sys
+
+_WANT_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    "PYTHONPATH": "",  # drop the sitecustomize that force-registers the TPU
+    "JAX_ENABLE_X64": "0",
+}
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get("_POPUP_SLAM_TEST_REEXEC") == "1":
+        return False
+    if os.environ.get("JAX_PLATFORMS", "cpu") != "cpu":
+        return True
+    if "jax" in sys.modules:
+        import jax
+
+        try:
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return True
+    return False
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env.update(_WANT_ENV)
+    env["_POPUP_SLAM_TEST_REEXEC"] = "1"
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        env,
+    )
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -1,0 +1,104 @@
+"""Segmentation model tests (SURVEY.md §2.1 "CNN ground segmentation"):
+the classical floor-model segmenter and the flax SegNet-lite must both
+recover the ground mask on synthetic low-texture frames well enough to
+feed the pop-up front-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pop_up_slam_tpu.geometry.camera import Intrinsics
+from pop_up_slam_tpu.io import synthetic
+from pop_up_slam_tpu.models import (
+    classical_ground_mask,
+    create_train_state,
+    predict_mask,
+    train_step,
+)
+
+H, W = 96, 128
+K = Intrinsics.create(64.0, 64.0, 64.0, 48.0)
+
+
+def _frames(n, key, worlds=None):
+    world = synthetic.corridor_world()
+    R, t = synthetic.corridor_trajectory(n)
+    labels, _ = jax.vmap(
+        lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W)
+    )(R, t)
+    keys = jax.random.split(key, n)
+    rgb = jax.vmap(synthetic.render_rgb)(labels, keys)
+    gt = labels == synthetic.LABEL_GROUND
+    return rgb, gt
+
+
+def _iou(pred, gt):
+    pred, gt = np.asarray(pred), np.asarray(gt)
+    inter = (pred & gt).sum()
+    union = (pred | gt).sum()
+    return inter / max(union, 1)
+
+
+def test_classical_segmenter_on_synthetic():
+    rgb, gt = _frames(3, jax.random.PRNGKey(0))
+    ious = []
+    for i in range(3):
+        mask = classical_ground_mask(rgb[i])
+        ious.append(_iou(mask, gt[i]))
+    assert min(ious) > 0.85, ious
+
+
+@pytest.fixture(scope="module")
+def trained_segnet():
+    """One shared short training run for all SegNet tests."""
+    key = jax.random.PRNGKey(1)
+    model, params, tx, opt_state = create_train_state(key, lr=3e-3,
+                                                     image_hw=(H, W))
+    rgb, gt = _frames(8, jax.random.PRNGKey(2))
+    step = jax.jit(
+        lambda p, o, x, y: train_step(model, p, tx, o, x, y)
+    )
+    loss0 = None
+    for it in range(40):
+        params, opt_state, loss = step(params, opt_state, rgb, gt)
+        if loss0 is None:
+            loss0 = float(loss)
+    return model, params, loss0, float(loss)
+
+
+def test_segnet_trains_on_synthetic(trained_segnet):
+    model, params, loss0, loss = trained_segnet
+    assert loss < loss0 * 0.25, (loss0, loss)
+
+    # generalization: new trajectory noise draws
+    rgb2, gt2 = _frames(2, jax.random.PRNGKey(3))
+    pred = predict_mask(model, params, rgb2)
+    iou = _iou(pred, gt2)
+    assert iou > 0.9, iou
+
+
+def test_segnet_feeds_popup(trained_segnet):
+    """Masks from the trained segmenter must drive the pop-up to the
+    same wall planes as the oracle mask (loose tolerance)."""
+    from pop_up_slam_tpu.popup import popup as pp
+
+    model, params, _, _ = trained_segnet
+    rgb, gt = _frames(8, jax.random.PRNGKey(5))
+
+    world = synthetic.corridor_world()
+    R, t = synthetic.corridor_trajectory(8)
+    mask = predict_mask(model, params, rgb[4:5])[0]
+    cfg = pp.PopupConfig(min_cols=6, smooth_radius=3, nms_radius=5)
+    res = pp.pop_up(K, mask, R[4], t[4], cfg)
+    res_gt = pp.pop_up(K, gt[4], R[4], t[4], cfg)
+    assert int(res.valid.sum()) >= 2
+    # every valid predicted wall matches some oracle wall
+    est = np.asarray(res.planes_w)[np.asarray(res.valid)]
+    ref = np.asarray(res_gt.planes_w)[np.asarray(res_gt.valid)]
+    for e in est:
+        err = min(
+            min(np.linalg.norm(e - g), np.linalg.norm(e + g)) for g in ref
+        )
+        assert err < 0.1, (e, err)
