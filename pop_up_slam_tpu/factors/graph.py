@@ -269,11 +269,18 @@ def _prior_terms(window: Window, f: PosePriors):
     return jax.vmap(one)(f.idx, f.R, f.t, f.sqrt_info, f.valid)
 
 
-def linearize(window: Window, factors: Factors) -> Linearization:
+def linearize(
+    window: Window, factors: Factors, analytic_planes: bool = False
+) -> Linearization:
     """Build the blocked Gauss-Newton normal equations for the window.
 
     All scatter-adds are dense-indexed ``.at[].add`` on fixed-shape
     buffers — XLA lowers them to efficient scatters; no dynamic shapes.
+
+    ``analytic_planes=True`` evaluates the plane-factor Jacobians with
+    the closed-form batched implementation in
+    :mod:`pop_up_slam_tpu.ops.plane_jacobians` (no per-factor jacfwd);
+    identical to machine precision (tests/test_ops.py).
     """
     W = window.window_size
     L = window.max_landmarks
@@ -303,7 +310,12 @@ def linearize(window: Window, factors: Factors) -> Linearization:
     cost = cost + 0.5 * jnp.sum(r_o * r_o)
 
     # --- plane observations ---
-    r_f, Jp, Jl = _plane_terms(window, factors.planes)
+    if analytic_planes:
+        from ..ops.plane_jacobians import plane_terms_analytic
+
+        r_f, Jp, Jl = plane_terms_analytic(window, factors.planes)
+    else:
+        r_f, Jp, Jl = _plane_terms(window, factors.planes)
     hpp = jnp.einsum("fab,fac->fbc", Jp, Jp)
     hpl = jnp.einsum("fab,fac->fbc", Jp, Jl)
     hll = jnp.einsum("fab,fac->fbc", Jl, Jl)

@@ -39,30 +39,59 @@ except Exception:  # pragma: no cover - flax is baked into this image
 
 def classical_ground_mask(
     rgb: jnp.ndarray,
-    seed_rows: int = 40,
+    seed_frac: float = 0.12,
     mahalanobis_thresh: float = 9.0,
     min_col_run: int = 3,
 ) -> jnp.ndarray:
     """Floor-color segmentation without a CNN.
 
     rgb: (H, W, 3) float in [0, 1] (or uint8).  Fits a Gaussian color
-    model to the bottom ``seed_rows`` rows (assumed floor — standard
-    ground-plane seeding) and labels pixels within a Mahalanobis
-    radius.  A per-column cleanup keeps only the run of ground pixels
-    connected (within the column) to the bottom of the image, which
-    removes same-colored blobs on walls/ceiling.
+    model to the bottom-*center* patch (bottom ``seed_frac`` of rows,
+    central half of columns — in corridor views the lower image
+    *corners* are wall, so a full-width seed is contaminated), refines
+    it once on the inliers of the lower image half (EM-style robust
+    refit), and labels pixels within a Mahalanobis radius.  A
+    per-column cleanup keeps only the run of ground pixels connected
+    (within the column) to the bottom of the image, which removes
+    same-colored blobs on walls/ceiling.
     """
     if rgb.dtype == jnp.uint8:
         rgb = rgb.astype(jnp.float32) / 255.0
     H, W, _ = rgb.shape
-    seed = rgb[H - seed_rows:, :, :].reshape(-1, 3)
-    mu = seed.mean(axis=0)
-    centered = seed - mu
-    cov = centered.T @ centered / seed.shape[0] + 1e-4 * jnp.eye(3)
-    prec = jnp.linalg.inv(cov)
-    diff = rgb - mu
-    m2 = jnp.einsum("hwi,ij,hwj->hw", diff, prec, diff)
-    raw = m2 < mahalanobis_thresh
+    seed_rows = max(int(H * seed_frac), 4)
+    seed = rgb[H - seed_rows:, W // 4: (3 * W) // 4, :].reshape(-1, 3)
+
+    def fit(pix, w):
+        wsum = jnp.maximum(w.sum(), 1.0)
+        mu = (pix * w[:, None]).sum(axis=0) / wsum
+        centered = (pix - mu) * jnp.sqrt(w)[:, None]
+        cov = centered.T @ centered / wsum + 1e-4 * jnp.eye(3)
+        return mu, jnp.linalg.inv(cov)
+
+    def mdist(mu, prec):
+        diff = rgb - mu
+        return jnp.einsum("hwi,ij,hwj->hw", diff, prec, diff)
+
+    mu, prec = fit(seed, jnp.ones((seed.shape[0],)))
+    # One robust refit on lower-half inliers of the initial model.
+    m2 = mdist(mu, prec)
+    rows = jnp.arange(H)[:, None]
+    inlier = (m2 < mahalanobis_thresh) & (rows >= H // 2)
+    mu, prec = fit(
+        rgb.reshape(-1, 3), inlier.reshape(-1).astype(jnp.float32)
+    )
+    raw = mdist(mu, prec) < mahalanobis_thresh
+
+    # Degeneracy guard: when no floor is visible (e.g. facing a wall
+    # up close) the bottom seed is wall-colored and the model would
+    # label the whole frame ground.  Compare against a model of the
+    # *top* rows (wall/ceiling by assumption): if the seed color is not
+    # separable from it, report an empty mask instead.
+    top = rgb[:seed_rows, :, :].reshape(-1, 3)
+    mu_top, _ = fit(top, jnp.ones((top.shape[0],)))
+    dmu = mu - mu_top
+    separation = dmu @ prec @ dmu
+    raw = raw & (separation > 4.0)
 
     # Column cleanup: ground must be bottom-connected.  Scan rows from
     # the bottom; a pixel stays ground only while the run from the

@@ -36,14 +36,18 @@ def _needs_reexec() -> bool:
 
 
 if _needs_reexec():
+    import subprocess
+
     env = dict(os.environ)
     env.update(_WANT_ENV)
     env["_POPUP_SLAM_TEST_REEXEC"] = "1"
-    os.execve(
-        sys.executable,
-        [sys.executable, "-m", "pytest", *sys.argv[1:]],
-        env,
+    # subprocess (not os.execve): execve can detach stdout from the
+    # parent's capture pipe in sandboxed environments, losing all
+    # pytest output while still reporting the right exit code.
+    ret = subprocess.run(
+        [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env
     )
+    os._exit(ret.returncode)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -38,7 +38,9 @@ def _iou(pred, gt):
     pred, gt = np.asarray(pred), np.asarray(gt)
     inter = (pred & gt).sum()
     union = (pred | gt).sum()
-    return inter / max(union, 1)
+    if union == 0:  # both empty (no visible ground): perfect agreement
+        return 1.0
+    return inter / union
 
 
 def test_classical_segmenter_on_synthetic():
