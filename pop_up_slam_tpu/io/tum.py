@@ -94,9 +94,15 @@ def load_sequence(root: str) -> TumSequence:
 
 
 def load_image(seq: TumSequence, rel_path: str) -> np.ndarray:
+    """Decode one frame — native C++ codec when built, PIL fallback."""
+    path = os.path.join(seq.root, rel_path)
+    from . import native_loader
+
+    if native_loader.available():
+        return native_loader.decode_png(path)
     from PIL import Image
 
-    with Image.open(os.path.join(seq.root, rel_path)) as im:
+    with Image.open(path) as im:
         return np.asarray(im)
 
 
