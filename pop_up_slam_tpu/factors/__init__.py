@@ -10,8 +10,11 @@ from .graph import (
     Linearization,
     total_cost,
 )
+from .robust import RobustConfig, RobustKernel
 
 __all__ = [
+    "RobustConfig",
+    "RobustKernel",
     "OdomFactors",
     "PlaneFactors",
     "PosePriors",

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3, plane
+from .robust import RobustConfig, apply_weights
 
 
 class Window(NamedTuple):
@@ -270,7 +271,10 @@ def _prior_terms(window: Window, f: PosePriors):
 
 
 def linearize(
-    window: Window, factors: Factors, analytic_planes: bool = False
+    window: Window,
+    factors: Factors,
+    analytic_planes: bool = False,
+    robust: RobustConfig | None = None,
 ) -> Linearization:
     """Build the blocked Gauss-Newton normal equations for the window.
 
@@ -281,7 +285,14 @@ def linearize(
     the closed-form batched implementation in
     :mod:`pop_up_slam_tpu.ops.plane_jacobians` (no per-factor jacfwd);
     identical to machine precision (tests/test_ops.py).
+
+    ``robust`` selects per-factor-family IRLS kernels
+    (:mod:`pop_up_slam_tpu.factors.robust`); ``None`` is plain least
+    squares.  The reported ``cost`` is the robustified objective
+    0.5 * sum rho(||r||^2), consistent with :func:`total_cost`.
     """
+    if robust is None:
+        robust = RobustConfig()
     W = window.window_size
     L = window.max_landmarks
     dtype = window.t.dtype
@@ -295,6 +306,7 @@ def linearize(
 
     # --- odometry ---
     r_o, Ji, Jj = _odom_terms(window, factors.odom)
+    r_o, Ji, Jj, rho_o = apply_weights(robust.odom, r_o, Ji, Jj)
     hii = jnp.einsum("fab,fac->fbc", Ji, Ji)
     hij = jnp.einsum("fab,fac->fbc", Ji, Jj)
     hjj = jnp.einsum("fab,fac->fbc", Jj, Jj)
@@ -307,7 +319,7 @@ def linearize(
     Hpp = Hpp.at[oj, oj].add(hjj)
     bp = bp.at[oi].add(gi)
     bp = bp.at[oj].add(gj)
-    cost = cost + 0.5 * jnp.sum(r_o * r_o)
+    cost = cost + 0.5 * jnp.sum(rho_o)
 
     # --- plane observations ---
     if analytic_planes:
@@ -316,6 +328,7 @@ def linearize(
         r_f, Jp, Jl = plane_terms_analytic(window, factors.planes)
     else:
         r_f, Jp, Jl = _plane_terms(window, factors.planes)
+    r_f, Jp, Jl, rho_f = apply_weights(robust.plane, r_f, Jp, Jl)
     hpp = jnp.einsum("fab,fac->fbc", Jp, Jp)
     hpl = jnp.einsum("fab,fac->fbc", Jp, Jl)
     hll = jnp.einsum("fab,fac->fbc", Jl, Jl)
@@ -327,23 +340,36 @@ def linearize(
     Hll = Hll.at[li_].add(hll)
     bp = bp.at[pi_].add(gp)
     bl = bl.at[li_].add(gl)
-    cost = cost + 0.5 * jnp.sum(r_f * r_f)
+    cost = cost + 0.5 * jnp.sum(rho_f)
 
     # --- priors ---
     r_p, Jq = _prior_terms(window, factors.priors)
+    r_p, Jq, rho_p = apply_weights(robust.prior, r_p, Jq)
     hqq = jnp.einsum("fab,fac->fbc", Jq, Jq)
     gq = jnp.einsum("fab,fa->fb", Jq, r_p)
     qi = factors.priors.idx
     Hpp = Hpp.at[qi, qi].add(hqq)
     bp = bp.at[qi].add(gq)
-    cost = cost + 0.5 * jnp.sum(r_p * r_p)
+    cost = cost + 0.5 * jnp.sum(rho_p)
 
     return Linearization(Hpp, Hpl, Hll, bp, bl, cost)
 
 
-def total_cost(window: Window, factors: Factors) -> jnp.ndarray:
-    """0.5 * sum of squared whitened residuals (for LM accept/reject)."""
+def total_cost(
+    window: Window, factors: Factors, robust: RobustConfig | None = None
+) -> jnp.ndarray:
+    """0.5 * sum rho(||r||^2) of whitened residuals (LM accept/reject).
+
+    With ``robust=None`` this is the plain least-squares cost."""
+    from .robust import rho as _rho
+
+    if robust is None:
+        robust = RobustConfig()
     r_o, _, _ = _odom_terms(window, factors.odom)
     r_f, _, _ = _plane_terms(window, factors.planes)
     r_p, _ = _prior_terms(window, factors.priors)
-    return 0.5 * (jnp.sum(r_o * r_o) + jnp.sum(r_f * r_f) + jnp.sum(r_p * r_p))
+    return 0.5 * (
+        jnp.sum(_rho(robust.odom, jnp.sum(r_o * r_o, -1)))
+        + jnp.sum(_rho(robust.plane, jnp.sum(r_f * r_f, -1)))
+        + jnp.sum(_rho(robust.prior, jnp.sum(r_p * r_p, -1)))
+    )

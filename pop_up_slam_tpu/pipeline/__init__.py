@@ -7,6 +7,7 @@ from .slam import (
     slam_step,
     current_pose,
 )
+from .pipelined import make_stages, run_pipelined
 
 __all__ = [
     "FrameDetections",
@@ -16,4 +17,6 @@ __all__ = [
     "slam_init",
     "slam_step",
     "current_pose",
+    "make_stages",
+    "run_pipelined",
 ]

@@ -1,5 +1,7 @@
 from .schur import solve_schur, solve_dense, inv3x3, SchurSolution
 from .gauss_newton import gn_solve, lm_solve, apply_update, SolveStats
+from .dogleg import dogleg_solve
+from .covariance import recover_marginals, Marginals
 
 __all__ = [
     "solve_schur",
@@ -8,6 +10,9 @@ __all__ = [
     "SchurSolution",
     "gn_solve",
     "lm_solve",
+    "dogleg_solve",
     "apply_update",
     "SolveStats",
+    "recover_marginals",
+    "Marginals",
 ]

@@ -35,8 +35,13 @@ def test_sharded_linearize_matches(problem, n_dev):
     factors_p = pad_factors_for_sharding(factors, n_dev)
     lin_d = sharded_linearize(window, factors_p, mesh)
     lin_s = linearize(window, factors)
+    # H entries reach ~1e4 (whitening 1/sigma = 100 squared); f32 psum
+    # reduction order differs from the single-device sum, so compare
+    # relative with an absolute floor.
     for a, b in zip(jax.tree.leaves(lin_d), jax.tree.leaves(lin_s)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-3
+        )
 
 
 def test_distributed_solve_matches_single_device(problem):
