@@ -8,6 +8,11 @@ from .slam import (
     current_pose,
 )
 from .pipelined import make_stages, run_pipelined
+from .offline import (
+    make_chunked_runner,
+    make_frame_fn,
+    run_sequence_chunked,
+)
 
 __all__ = [
     "FrameDetections",
@@ -19,4 +24,7 @@ __all__ = [
     "current_pose",
     "make_stages",
     "run_pipelined",
+    "make_chunked_runner",
+    "make_frame_fn",
+    "run_sequence_chunked",
 ]
