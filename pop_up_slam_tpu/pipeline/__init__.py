@@ -9,9 +9,13 @@ from .slam import (
 )
 from .pipelined import make_stages, run_pipelined
 from .offline import (
+    VOState,
     make_chunked_runner,
+    make_chunked_vo_runner,
     make_frame_fn,
+    make_vo_frame_fn,
     run_sequence_chunked,
+    vo_init,
 )
 
 __all__ = [
@@ -25,6 +29,10 @@ __all__ = [
     "make_stages",
     "run_pipelined",
     "make_chunked_runner",
+    "make_chunked_vo_runner",
     "make_frame_fn",
+    "make_vo_frame_fn",
     "run_sequence_chunked",
+    "VOState",
+    "vo_init",
 ]

@@ -20,11 +20,14 @@ updated in place on device with no reallocation per chunk.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from ..geometry import se3
 from ..geometry.camera import Intrinsics
+from ..odometry import PlaneVOConfig, plane_vo_step
 from ..popup import popup as pp
 from .slam import (
     SlamConfig,
@@ -48,6 +51,90 @@ def make_frame_fn(K: Intrinsics, pcfg: pp.PopupConfig, scfg: SlamConfig):
         return state, (R, t)
 
     return frame
+
+
+class VOState(NamedTuple):
+    """Scan carry for the fully-monocular (plane-VO) frame loop."""
+
+    slam: SlamState
+    prev_planes: jnp.ndarray     # (D, 4) previous frame's camera planes
+    prev_valid: jnp.ndarray      # (D,) bool
+    prior_R: jnp.ndarray         # (3, 3) constant-velocity motion prior
+    prior_t: jnp.ndarray         # (3,)
+
+
+def vo_init(slam_state: SlamState, max_det: int) -> VOState:
+    return VOState(
+        slam=slam_state,
+        prev_planes=jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0, 0.0]), (max_det, 4)
+        ),
+        prev_valid=jnp.zeros((max_det,), bool),
+        prior_R=jnp.eye(3),
+        prior_t=jnp.zeros((3,)),
+    )
+
+
+def make_vo_frame_fn(
+    K: Intrinsics,
+    pcfg: pp.PopupConfig,
+    scfg: SlamConfig,
+    vcfg: PlaneVOConfig = PlaneVOConfig(),
+):
+    """Fully monocular frame step: mask -> pop-up -> plane-VO odometry ->
+    SLAM.  No external odometry input of any kind — the relative motion
+    measurement comes from frame-to-frame plane alignment
+    (odometry/plane_vo.py), seeded by a constant-velocity prior.
+
+    Scan body: (VOState, mask (H, W)) -> (VOState, (R_wc, t_wc)).
+    """
+
+    def frame(vs: VOState, mask):
+        base_R, base_t = current_pose(vs.slam)
+        # Pop-up at the constant-velocity-predicted pose (only gravity
+        # alignment + height matter for the single-view geometry).
+        pred_R, pred_t = se3.se3_compose(
+            base_R, base_t, vs.prior_R, vs.prior_t
+        )
+        res = pp.pop_up(K, mask, pred_R, pred_t, pcfg)
+        planes = jnp.concatenate([res.planes_c, res.ground_c[None]])
+        pad = scfg.max_det - planes.shape[0]
+        planes = jnp.concatenate(
+            [planes, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, 0.0]),
+                                      (pad, 4))]
+        ) if pad else planes
+        valid = jnp.concatenate(
+            [res.valid, jnp.ones((1,), bool), jnp.zeros((pad,), bool)]
+        )
+
+        vo = plane_vo_step(
+            vs.prev_planes, vs.prev_valid, planes, valid,
+            vs.prior_R, vs.prior_t, vcfg,
+        )
+        det = detections_from_popup(res, pred_R, pred_t, scfg.max_det)
+        slam, (R, t) = slam_step(vs.slam, det, vo.R, vo.t, scfg)
+        return VOState(slam, planes, valid, vo.R, vo.t), (R, t)
+
+    return frame
+
+
+def make_chunked_vo_runner(
+    K: Intrinsics,
+    pcfg: pp.PopupConfig,
+    scfg: SlamConfig,
+    vcfg: PlaneVOConfig = PlaneVOConfig(),
+    donate: bool = True,
+):
+    """Jitted monocular runner over a chunk of masks: ``run(vo_state,
+    masks (C, H, W)) -> (vo_state, (R (C,3,3), t (C,3)))``."""
+    frame = make_vo_frame_fn(K, pcfg, scfg, vcfg)
+
+    def run(vs, masks):
+        return jax.lax.scan(frame, vs, masks)
+
+    if donate:
+        return jax.jit(run, donate_argnums=0)
+    return jax.jit(run)
 
 
 def make_chunked_runner(

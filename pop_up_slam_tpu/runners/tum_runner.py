@@ -12,6 +12,9 @@ arXiv:1703.07334 §V; SURVEY.md §7 hard part #3).  Supported modes:
   injected drift.
 - ``constant_velocity``: dead-reckoning prior from the previous
   relative estimate (no external signal).
+- ``plane_vo``: fully monocular — relative motion from frame-to-frame
+  plane alignment (odometry/plane_vo.py) seeded by a constant-velocity
+  prior; no ground truth is consumed anywhere.
 
 Segmentation source: precomputed masks in ``seg/`` when present,
 otherwise the classical floor-color model.
@@ -71,6 +74,12 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         state, (R, t) = slam_step(state, det, oR, ot, scfg)
         return state, (R, t)
 
+    if odometry == "plane_vo":
+        from ..pipeline import make_vo_frame_fn, vo_init
+
+        vo_frame = jax.jit(make_vo_frame_fn(K, cfg.popup, scfg))
+        vo_state = vo_init(state, scfg.max_det)
+
     logger = MetricsLogger(cfg.metrics_path or None)
     timer = StageTimer()
     est_R = [gt_R[0]]
@@ -90,6 +99,18 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
                 classical_ground_mask(jnp.asarray(rgb))
             )
         timer.stop()
+
+        if odometry == "plane_vo":
+            timer.start("slam")
+            vo_state, (R, t) = vo_frame(vo_state, jnp.asarray(mask))
+            state = vo_state.slam
+            jax.block_until_ready(t)
+            timer.stop()
+            R_np, t_np = np.asarray(R), np.asarray(t)
+            est_R.append(R_np)
+            est_t.append(t_np)
+            logger.log(frame=int(i), n_kf=int(state.n_kf))
+            continue
 
         if odometry == "gt_perturb":
             Ra, ta = gt_R[k - 1], gt_t[k - 1]
