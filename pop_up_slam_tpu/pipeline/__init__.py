@@ -17,6 +17,11 @@ from .offline import (
     run_sequence_chunked,
     vo_init,
 )
+from .batched import (
+    dead_reckon,
+    make_batched_runner,
+    run_sequence_batched,
+)
 
 __all__ = [
     "FrameDetections",
@@ -35,4 +40,7 @@ __all__ = [
     "run_sequence_chunked",
     "VOState",
     "vo_init",
+    "dead_reckon",
+    "make_batched_runner",
+    "run_sequence_batched",
 ]

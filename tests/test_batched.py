@@ -1,0 +1,110 @@
+"""Batched-front-end runner agrees with the per-frame loop
+(pipeline/batched.py).
+
+The batched runner pops up every frame of a chunk at *dead-reckoned*
+poses instead of the BA-refined predicted poses of the per-frame path.
+Camera-frame detections depend on the pose only through gravity
+alignment and height, so with exact odometry the two paths must agree
+to fp tolerance; with noisy odometry the trajectories must stay close
+(the BA's height/gravity corrections are second-order in the noise).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pop_up_slam_tpu.geometry import se3
+from pop_up_slam_tpu.geometry.camera import Intrinsics
+from pop_up_slam_tpu.io import synthetic
+from pop_up_slam_tpu.pipeline import (
+    SlamConfig,
+    current_pose,
+    dead_reckon,
+    detections_from_popup,
+    run_sequence_batched,
+    run_sequence_chunked,
+    slam_init,
+)
+from pop_up_slam_tpu.popup import popup as pp
+
+H, W = 96, 128
+N = 11  # not a multiple of the chunk size: exercises the tail compile
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    K = Intrinsics.create(64.0, 64.0, 64.0, 48.0)
+    world = synthetic.corridor_world()
+    Rs, ts = synthetic.corridor_trajectory(N + 1)
+    labels, _ = jax.jit(
+        jax.vmap(lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W))
+    )(Rs, ts)
+    masks = labels[1:] == synthetic.LABEL_GROUND
+    oR, ot = se3.se3_between(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
+    return K, Rs, ts, masks, oR, ot
+
+
+def _cfgs():
+    pcfg = pp.PopupConfig(min_cols=4, smooth_radius=2, nms_radius=3)
+    scfg = SlamConfig(max_det=pcfg.max_segments + 1, kf_trans=0.05,
+                      kf_rot=0.02, window_size=4, max_landmarks=16,
+                      gn_iters=2)
+    return pcfg, scfg
+
+
+def test_dead_reckon_matches_compose_chain(sequence):
+    K, Rs, ts, masks, oR, ot = sequence
+    dr_R, dr_t = dead_reckon(Rs[0], ts[0], oR, ot)
+    R, t = Rs[0], ts[0]
+    for i in range(N):
+        R, t = se3.se3_compose(R, t, oR[i], ot[i])
+        np.testing.assert_allclose(dr_R[i], R, atol=1e-5)
+        np.testing.assert_allclose(dr_t[i], t, atol=1e-5)
+
+
+def test_batched_matches_chunked_exact_odom(sequence):
+    """With exact odometry the dead-reckoned and BA-refined pop-up poses
+    share gravity + height, so both runners see identical camera-frame
+    detections and must produce near-identical trajectories."""
+    K, Rs, ts, masks, oR, ot = sequence
+    pcfg, scfg = _cfgs()
+
+    s0 = slam_init(scfg, Rs[0], ts[0])
+    _, (R_ref, t_ref) = run_sequence_chunked(
+        s0, masks, oR, ot, K, pcfg, scfg, chunk=4, donate=False
+    )
+    s0 = slam_init(scfg, Rs[0], ts[0])
+    _, (R_bat, t_bat) = run_sequence_batched(
+        s0, masks, oR, ot, K, pcfg, scfg, chunk=4, donate=False
+    )
+    np.testing.assert_allclose(np.asarray(t_bat), np.asarray(t_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(R_bat), np.asarray(R_ref), atol=2e-3)
+
+
+def test_batched_tracks_like_per_frame_under_noise(sequence):
+    """Noisy odometry: the batched runner must stay in the same accuracy
+    class as the per-frame chunked path on the same noisy inputs (the
+    two see slightly different pop-up poses, so require closeness of
+    *error*, not bit-equality)."""
+    K, Rs, ts, masks, oR, ot = sequence
+    pcfg, scfg = _cfgs()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    ot_n = ot + 0.01 * jax.random.normal(k1, ot.shape)
+    dR = jax.vmap(se3.so3_exp)(0.005 * jax.random.normal(k2, (N, 3)))
+    oR_n = jnp.einsum("nij,njk->nik", oR, dR)
+
+    s0 = slam_init(scfg, Rs[0], ts[0])
+    _, (R_b, t_b) = run_sequence_batched(
+        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=4, donate=False
+    )
+    s0 = slam_init(scfg, Rs[0], ts[0])
+    _, (R_c, t_c) = run_sequence_chunked(
+        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=4, donate=False
+    )
+    err_b = np.linalg.norm(np.asarray(t_b) - np.asarray(ts[1:]), axis=-1)
+    err_c = np.linalg.norm(np.asarray(t_c) - np.asarray(ts[1:]), axis=-1)
+    # same accuracy class: batched mean error within 25% + 2cm of per-frame
+    assert float(err_b.mean()) <= 1.25 * float(err_c.mean()) + 0.02, (
+        err_b.mean(), err_c.mean())
