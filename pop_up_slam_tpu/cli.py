@@ -30,7 +30,7 @@ def _run_popup_demo(cfg, args):
     mask = labels == synthetic.LABEL_GROUND
     t0 = time.perf_counter()
     res = jax.jit(lambda m: pp.pop_up(K, m, R[0], t[0], cfg.popup))(mask)
-    depth = pp.depth_from_popup(K, res, mask, R[0], t[0])
+    depth = pp.render_depth(K, res, mask, R[0], t[0])
     jax.block_until_ready(depth)
     dt = time.perf_counter() - t0
     gt = np.asarray(depth_gt)
@@ -145,6 +145,12 @@ def main(argv=None):
     runp.add_argument("--out-trajectory", default="")
     runp.add_argument("--metrics", default="")
     runp.add_argument("--profile-dir", default="")
+    runp.add_argument("--checkpoint", default="",
+                      help="snapshot solver state to this .npz")
+    runp.add_argument("--checkpoint-every", type=int, default=0,
+                      help="also snapshot every N frames (0 = end only)")
+    runp.add_argument("--resume", default="",
+                      help="restore a --checkpoint snapshot and continue")
     args = parser.parse_args(argv)
 
     from .config import get_config
@@ -160,6 +166,12 @@ def main(argv=None):
         overrides["metrics_path"] = args.metrics
     if args.profile_dir:
         overrides["profile_dir"] = args.profile_dir
+    if args.checkpoint:
+        overrides["checkpoint_path"] = args.checkpoint
+    if args.checkpoint_every:
+        overrides["checkpoint_every"] = args.checkpoint_every
+    if args.resume:
+        overrides["resume"] = args.resume
     cfg = get_config(args.config, **overrides)
 
     if cfg.profile_dir:

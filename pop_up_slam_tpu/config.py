@@ -39,6 +39,10 @@ class RunConfig(NamedTuple):
     out_trajectory: str = ""
     metrics_path: str = ""
     profile_dir: str = ""
+    # checkpoint / resume (SURVEY.md §5 "Checkpoint / resume")
+    checkpoint_path: str = ""     # where to snapshot solver state (.npz)
+    checkpoint_every: int = 0     # snapshot every N frames (0 = end only)
+    resume: str = ""              # restore from this snapshot and continue
 
 
 def _popup_demo() -> RunConfig:

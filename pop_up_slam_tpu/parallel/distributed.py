@@ -140,7 +140,6 @@ def sharded_popup(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
     )
     def local(m, R, t):
         return jax.vmap(popup_fn)(m, R, t)

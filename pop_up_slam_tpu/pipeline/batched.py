@@ -22,12 +22,20 @@ instead of C dependent iterations.  With a sharded mesh the same
 batch dimension is what ``parallel.distributed.sharded_popup``
 spreads across chips.
 
-Numerical note: the per-frame path pops up at the *BA-refined*
-predicted pose, this path at the dead-reckoned pose.  Camera-frame
-detections agree exactly when the two poses share height and gravity
+Numerical note: the per-frame path (offline.make_frame_fn) pops frame
+t up at the BA-refined pose of the *previous* frame — the current
+frame's odometry is composed inside ``slam_step``, after the pop-up —
+while this path pops up at the dead-reckoned pose *including* frame
+t's odometry.  The two therefore differ by one odometry delta plus
+whatever BA corrections accumulated inside the chunk.  Camera-frame
+detections agree exactly when the poses share height and gravity
 alignment, which the BA preserves up to its own correction of odometry
 noise — tests/test_batched.py checks trajectory agreement on the
-synthetic corridor.
+synthetic corridor.  Under *noisy* odometry the dead-reckoned pop-up
+poses accumulate uncorrected height/gravity error across the chunk (no
+BA feedback within a chunk), so larger ``chunk`` trades accuracy for
+throughput; tests/test_batched.py bounds the error at the default
+chunk length.
 """
 
 from __future__ import annotations
@@ -111,23 +119,17 @@ def run_sequence_batched(
     chunk: int = 16,
     donate: bool = True,
 ):
-    """Run a whole sequence through the batched runner (tail handled by a
-    second compile at the tail length, like offline.run_sequence_chunked)."""
-    n = masks.shape[0]
-    n_full = n // chunk
-    outs = []
-    if n_full:
-        run = make_batched_runner(K, pcfg, scfg, donate=donate)
-        for c in range(n_full):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            state, out = run(state, masks[sl], odom_R[sl], odom_t[sl])
-            outs.append(out)
-    tail = n - n_full * chunk
-    if tail:
-        run_t = make_batched_runner(K, pcfg, scfg, donate=donate)
-        sl = slice(n_full * chunk, n)
-        state, out = run_t(state, masks[sl], odom_R[sl], odom_t[sl])
-        outs.append(out)
-    Rs = jnp.concatenate([o[0] for o in outs], axis=0)
-    ts = jnp.concatenate([o[1] for o in outs], axis=0)
-    return state, (Rs, ts)
+    """Run a whole sequence through the batched runner via the shared
+    chunk-loop driver (offline.run_sequence_with).
+
+    Accuracy note: within a chunk the front-end sees no BA feedback
+    (module docstring), so with noisy odometry a larger ``chunk``
+    trades accuracy for throughput — pick the chunk length to the
+    odometry quality.
+    """
+    from .offline import run_sequence_with
+
+    return run_sequence_with(
+        make_batched_runner, state, masks, odom_R, odom_t,
+        K, pcfg, scfg, chunk=chunk, donate=donate,
+    )

@@ -75,6 +75,37 @@ def vo_init(slam_state: SlamState, max_det: int) -> VOState:
     )
 
 
+def _vo_frame_core(vs: VOState, mask, K, pcfg, scfg, vcfg):
+    """Shared fully-monocular frame step.  Returns the next VOState, the
+    pose, and the auxiliaries (pop-up result, pop-up pose, VO estimate)
+    the fused-depth variant builds on."""
+    base_R, base_t = current_pose(vs.slam)
+    # Pop-up at the constant-velocity-predicted pose (only gravity
+    # alignment + height matter for the single-view geometry).
+    pred_R, pred_t = se3.se3_compose(
+        base_R, base_t, vs.prior_R, vs.prior_t
+    )
+    res = pp.pop_up(K, mask, pred_R, pred_t, pcfg)
+    planes = jnp.concatenate([res.planes_c, res.ground_c[None]])
+    pad = scfg.max_det - planes.shape[0]
+    planes = jnp.concatenate(
+        [planes, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, 0.0]),
+                                  (pad, 4))]
+    ) if pad else planes
+    valid = jnp.concatenate(
+        [res.valid, jnp.ones((1,), bool), jnp.zeros((pad,), bool)]
+    )
+
+    vo = plane_vo_step(
+        vs.prev_planes, vs.prev_valid, planes, valid,
+        vs.prior_R, vs.prior_t, vcfg,
+    )
+    det = detections_from_popup(res, pred_R, pred_t, scfg.max_det)
+    slam, (R, t) = slam_step(vs.slam, det, vo.R, vo.t, scfg)
+    vs_next = VOState(slam, planes, valid, vo.R, vo.t)
+    return vs_next, (R, t), (res, pred_R, pred_t, vo)
+
+
 def make_vo_frame_fn(
     K: Intrinsics,
     pcfg: pp.PopupConfig,
@@ -90,32 +121,98 @@ def make_vo_frame_fn(
     """
 
     def frame(vs: VOState, mask):
-        base_R, base_t = current_pose(vs.slam)
-        # Pop-up at the constant-velocity-predicted pose (only gravity
-        # alignment + height matter for the single-view geometry).
-        pred_R, pred_t = se3.se3_compose(
-            base_R, base_t, vs.prior_R, vs.prior_t
-        )
-        res = pp.pop_up(K, mask, pred_R, pred_t, pcfg)
-        planes = jnp.concatenate([res.planes_c, res.ground_c[None]])
-        pad = scfg.max_det - planes.shape[0]
-        planes = jnp.concatenate(
-            [planes, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, 0.0]),
-                                      (pad, 4))]
-        ) if pad else planes
-        valid = jnp.concatenate(
-            [res.valid, jnp.ones((1,), bool), jnp.zeros((pad,), bool)]
-        )
-
-        vo = plane_vo_step(
-            vs.prev_planes, vs.prev_valid, planes, valid,
-            vs.prior_R, vs.prior_t, vcfg,
-        )
-        det = detections_from_popup(res, pred_R, pred_t, scfg.max_det)
-        slam, (R, t) = slam_step(vs.slam, det, vo.R, vo.t, scfg)
-        return VOState(slam, planes, valid, vo.R, vo.t), (R, t)
+        vs_next, pose, _ = _vo_frame_core(vs, mask, K, pcfg, scfg, vcfg)
+        return vs_next, pose
 
     return frame
+
+
+class FusedVOState(NamedTuple):
+    """Monocular VO carry + the per-pixel inverse-depth fusion filter
+    (paper §V analog — fusion/depth_fusion.py)."""
+
+    vo: VOState
+    filt: "jnp.ndarray"  # DepthFilter pytree
+
+
+def fused_vo_init(slam_state: SlamState, max_det: int, height: int,
+                  width: int) -> FusedVOState:
+    from ..fusion import DepthFilter
+
+    return FusedVOState(
+        vo=vo_init(slam_state, max_det),
+        filt=DepthFilter(
+            inv_mu=jnp.zeros((height, width)),
+            var=jnp.full((height, width), 1e6),
+            valid=jnp.zeros((height, width), bool),
+        ),
+    )
+
+
+def make_fused_vo_frame_fn(
+    K: Intrinsics,
+    pcfg: pp.PopupConfig,
+    scfg: SlamConfig,
+    vcfg: PlaneVOConfig = PlaneVOConfig(),
+    sigma0_rel: float = 0.05,
+    motion_var: float = 1e-4,
+    max_depth: float = 40.0,
+):
+    """Monocular frame step with semi-dense depth fusion in the loop
+    (the reference's LSD-SLAM fusion role, paper arXiv:1703.07334 §V;
+    SURVEY.md §2.1 "LSD-SLAM depth fusion"): each frame's popped-up
+    plane depth is fused into a per-pixel inverse-depth filter that is
+    forward-warped through the estimated relative motion — the filter
+    smooths single-frame pop-up noise and carries depth into regions
+    the current frame's segmentation misses.
+
+    Scan body: (FusedVOState, mask (H, W)) ->
+               (FusedVOState, ((R_wc, t_wc), fused_depth (H, W))).
+    """
+    from ..fusion import fuse_observation, init_from_popup, propagate_to_frame
+
+    def frame(fs: FusedVOState, mask):
+        vs_next, (R, t), (res, pred_R, pred_t, vo) = _vo_frame_core(
+            fs.vo, mask, K, pcfg, scfg, vcfg
+        )
+        plane_depth = pp.render_depth(
+            K, res, mask, pred_R, pred_t, max_depth=max_depth
+        )
+        # warp yesterday's filter through the VO motion, then fuse
+        # today's plane-depth observation
+        flt = propagate_to_frame(fs.filt, K, vo.R, vo.t,
+                                 motion_var=motion_var,
+                                 max_depth=max_depth)
+        obs = init_from_popup(plane_depth, sigma0_rel=sigma0_rel,
+                              max_depth=max_depth)
+        flt = fuse_observation(flt, obs.inv_mu, obs.var)
+        fused_depth = jnp.where(
+            flt.valid, 1.0 / jnp.clip(flt.inv_mu, 1e-3, 1e3), plane_depth
+        )
+        return FusedVOState(vs_next, flt), ((R, t), fused_depth)
+
+    return frame
+
+
+def make_chunked_fused_vo_runner(
+    K: Intrinsics,
+    pcfg: pp.PopupConfig,
+    scfg: SlamConfig,
+    vcfg: PlaneVOConfig = PlaneVOConfig(),
+    donate: bool = True,
+    **fusion_kwargs,
+):
+    """Jitted fused monocular runner over a chunk of masks:
+    ``run(fs, masks (C, H, W)) ->
+    (fs, ((R (C,3,3), t (C,3)), depth (C, H, W)))``."""
+    frame = make_fused_vo_frame_fn(K, pcfg, scfg, vcfg, **fusion_kwargs)
+
+    def run(fs, masks):
+        return jax.lax.scan(frame, fs, masks)
+
+    if donate:
+        return jax.jit(run, donate_argnums=0)
+    return jax.jit(run)
 
 
 def make_chunked_vo_runner(
@@ -161,6 +258,44 @@ def make_chunked_runner(
     return jax.jit(run)
 
 
+def run_sequence_with(
+    make_runner,
+    state: SlamState,
+    masks: jnp.ndarray,
+    odom_R: jnp.ndarray,
+    odom_t: jnp.ndarray,
+    K: Intrinsics,
+    pcfg: pp.PopupConfig,
+    scfg: SlamConfig,
+    chunk: int = 16,
+    donate: bool = True,
+):
+    """Shared chunk-loop driver for any chunk-runner factory.
+
+    ``make_runner(K, pcfg, scfg, donate=...)`` must return a jitted
+    ``run(state, masks (C,H,W), odom_R (C,3,3), odom_t (C,3))``.  One
+    runner instance serves both the full chunks and the tail — jit
+    recompiles once at the tail length within the same cache.  An
+    empty sequence returns the state unchanged with (0,·)-shaped
+    outputs.  Returns (state, (R (N,3,3), t (N,3))).
+    """
+    n = masks.shape[0]
+    if n == 0:
+        dtype = odom_t.dtype
+        return state, (
+            jnp.zeros((0, 3, 3), dtype), jnp.zeros((0, 3), dtype)
+        )
+    run = make_runner(K, pcfg, scfg, donate=donate)
+    outs = []
+    for start in range(0, n, chunk):
+        sl = slice(start, min(start + chunk, n))
+        state, out = run(state, masks[sl], odom_R[sl], odom_t[sl])
+        outs.append(out)
+    Rs = jnp.concatenate([o[0] for o in outs], axis=0)
+    ts = jnp.concatenate([o[1] for o in outs], axis=0)
+    return state, (Rs, ts)
+
+
 def run_sequence_chunked(
     state: SlamState,
     masks: jnp.ndarray,
@@ -174,26 +309,11 @@ def run_sequence_chunked(
 ):
     """Run a whole sequence through the chunked runner.
 
-    Full chunks go through one compiled scan; the tail (< chunk frames)
-    runs through a second scan compiled at the tail length, so results
-    are bit-identical to the per-frame loop (tests/test_offline.py).
-    Returns (state, (R (N,3,3), t (N,3))).
+    Chunks run through one compiled scan each (the tail recompiles at
+    its own length), so results are bit-identical to the per-frame
+    loop (tests/test_offline.py).  Returns (state, (R (N,3,3), t (N,3))).
     """
-    n = masks.shape[0]
-    n_full = n // chunk
-    outs = []
-    if n_full:
-        run = make_chunked_runner(K, pcfg, scfg, donate=donate)
-        for c in range(n_full):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            state, out = run(state, masks[sl], odom_R[sl], odom_t[sl])
-            outs.append(out)
-    tail = n - n_full * chunk
-    if tail:
-        run_t = make_chunked_runner(K, pcfg, scfg, donate=donate)
-        sl = slice(n_full * chunk, n)
-        state, out = run_t(state, masks[sl], odom_R[sl], odom_t[sl])
-        outs.append(out)
-    Rs = jnp.concatenate([o[0] for o in outs], axis=0)
-    ts = jnp.concatenate([o[1] for o in outs], axis=0)
-    return state, (Rs, ts)
+    return run_sequence_with(
+        make_chunked_runner, state, masks, odom_R, odom_t,
+        K, pcfg, scfg, chunk=chunk, donate=donate,
+    )

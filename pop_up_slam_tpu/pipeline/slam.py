@@ -37,11 +37,14 @@ from ..factors.graph import (
     PosePriors,
     Window,
 )
+from ..factors.graph import linearize
+from ..factors.robust import RobustConfig
 from ..geometry import plane as plane_mod
 from ..geometry import se3
 from ..mapping import LandmarkStore, insert_landmarks, update_extents
 from ..popup.popup import PopupPlanes
-from ..solver import gn_solve
+from ..solver import dogleg_solve, gn_solve, lm_solve
+from ..solver.schur import make_solve_fn
 
 
 class SlamConfig(NamedTuple):
@@ -58,6 +61,24 @@ class SlamConfig(NamedTuple):
     plane_sigma_d: float = 0.02   # m — plane-distance noise
     min_obs_for_extent: int = 1
     assoc: AssocConfig = AssocConfig()
+    # --- solver selection (iSAM parity: GN / LM / Powell's dog-leg,
+    # SURVEY.md §2.1 "batch Gauss-Newton/LM/Powell's dog-leg") ---
+    solver: str = "gn"            # gn | lm | dogleg
+    # Closed-form plane-factor Jacobians (ops/plane_jacobians.py)
+    # instead of per-factor jacfwd — identical to machine precision.
+    analytic_planes: bool = True
+    # Reduced-system solver: "auto" = Pallas Schur-GEMM + fused
+    # Cholesky kernels on TPU, pure-jnp elsewhere (solver/schur.py).
+    pallas: str = "auto"
+    # IRLS robust kernels per factor family (factors/robust.py).
+    robust: RobustConfig = RobustConfig()
+    # Fold the exiting keyframe's factors into a Gaussian prior on the
+    # new oldest pose when the window slides (SURVEY.md §7
+    # "Incrementality → windowed re-solve"); False = drop (round-2
+    # behavior: gauge-fix the oldest pose, discard its information).
+    marginalize: bool = True
+    init_prior_info: float = 1e3  # sqrt-info of the anchor pose prior
+    marg_info_floor: float = 4.0  # min marginal info (f32 conditioning)
 
 
 class FrameDetections(NamedTuple):
@@ -88,6 +109,9 @@ class SlamState(NamedTuple):
     acc_t: jnp.ndarray
     n_kf: jnp.ndarray            # () int32 — total keyframes so far
     frame: jnp.ndarray           # () int32 — total frames so far
+    mprior_R: jnp.ndarray        # (3, 3) Gaussian prior on window slot 0:
+    mprior_t: jnp.ndarray        # (3,)   mean pose (anchor at init, the
+    mprior_sqrt: jnp.ndarray     # (6, 6) marginal of exited kfs after)
 
 
 def detections_from_popup(
@@ -126,14 +150,19 @@ def detections_from_popup(
 
 
 def slam_init(cfg: SlamConfig, R0: jnp.ndarray, t0: jnp.ndarray) -> SlamState:
-    """Fresh state anchored at the initial pose (slot 0, gauge-fixed)."""
+    """Fresh state anchored at the initial pose.
+
+    With ``cfg.marginalize`` the anchor is a strong Gaussian *prior* on
+    slot 0 (so the slot stays free and later receives the marginal of
+    exited keyframes); without it, slot 0 is hard gauge-fixed (the
+    round-2 fixed-lag behavior)."""
     W, L, D = cfg.window_size, cfg.max_landmarks, cfg.max_det
     w0 = Window.empty(W, L)
     window = w0._replace(
         R=w0.R.at[0].set(R0),
         t=w0.t.at[0].set(t0),
         pose_valid=w0.pose_valid.at[0].set(True),
-        pose_fixed=w0.pose_fixed.at[0].set(True),
+        pose_fixed=w0.pose_fixed.at[0].set(not cfg.marginalize),
     )
     return SlamState(
         window=window,
@@ -150,6 +179,9 @@ def slam_init(cfg: SlamConfig, R0: jnp.ndarray, t0: jnp.ndarray) -> SlamState:
         acc_t=jnp.zeros((3,)),
         n_kf=jnp.asarray(1, jnp.int32),
         frame=jnp.asarray(0, jnp.int32),
+        mprior_R=jnp.asarray(R0, jnp.float32),
+        mprior_t=jnp.asarray(t0, jnp.float32),
+        mprior_sqrt=cfg.init_prior_info * jnp.eye(6),
     )
 
 
@@ -163,38 +195,118 @@ def current_pose(state: SlamState):
     return se3.se3_compose(R_kf, t_kf, state.acc_R, state.acc_t)
 
 
-def _build_factors(state: SlamState, cfg: SlamConfig) -> Factors:
-    W, D = state.pf_valid.shape
-    dtype = state.window.t.dtype
-
+def _odom_sqrt_info(cfg: SlamConfig, dtype) -> jnp.ndarray:
     inv_t = 1.0 / cfg.odom_sigma_t
     inv_r = 1.0 / cfg.odom_sigma_r
-    odom_sqrt = jnp.diag(
-        jnp.array([inv_t] * 3 + [inv_r] * 3, dtype)
-    )
-    odom = OdomFactors(
-        i=jnp.arange(W - 1, dtype=jnp.int32),
-        j=jnp.arange(1, W, dtype=jnp.int32),
-        R_meas=state.odom_R,
-        t_meas=state.odom_t,
-        sqrt_info=jnp.broadcast_to(odom_sqrt, (W - 1, 6, 6)),
-        valid=state.odom_valid,
-    )
-    plane_sqrt = jnp.diag(
+    return jnp.diag(jnp.array([inv_t] * 3 + [inv_r] * 3, dtype))
+
+
+def _plane_sqrt_info(cfg: SlamConfig, dtype) -> jnp.ndarray:
+    return jnp.diag(
         jnp.array(
             [1.0 / cfg.plane_sigma_n, 1.0 / cfg.plane_sigma_n,
              1.0 / cfg.plane_sigma_d],
             dtype,
         )
     )
+
+
+def _prior_factors(state: SlamState, cfg: SlamConfig) -> PosePriors:
+    """The slot-0 Gaussian prior: anchor at init, then the marginal of
+    every keyframe that has exited the window (cfg.marginalize)."""
+    return PosePriors(
+        idx=jnp.zeros((1,), jnp.int32),
+        R=state.mprior_R[None],
+        t=state.mprior_t[None],
+        sqrt_info=state.mprior_sqrt[None],
+        valid=jnp.full((1,), cfg.marginalize),
+    )
+
+
+def _build_factors(state: SlamState, cfg: SlamConfig) -> Factors:
+    W, D = state.pf_valid.shape
+    dtype = state.window.t.dtype
+
+    odom = OdomFactors(
+        i=jnp.arange(W - 1, dtype=jnp.int32),
+        j=jnp.arange(1, W, dtype=jnp.int32),
+        R_meas=state.odom_R,
+        t_meas=state.odom_t,
+        sqrt_info=jnp.broadcast_to(_odom_sqrt_info(cfg, dtype), (W - 1, 6, 6)),
+        valid=state.odom_valid,
+    )
     planes = PlaneFactors(
         pose_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), D),
         lm_idx=state.pf_lm.reshape(-1),
         pi_meas=state.pf_pi.reshape(-1, 4),
-        sqrt_info=jnp.broadcast_to(plane_sqrt, (W * D, 3, 3)),
+        sqrt_info=jnp.broadcast_to(
+            _plane_sqrt_info(cfg, dtype), (W * D, 3, 3)
+        ),
         valid=state.pf_valid.reshape(-1),
     )
-    return Factors(odom=odom, planes=planes, priors=PosePriors.empty(1))
+    return Factors(odom=odom, planes=planes,
+                   priors=_prior_factors(state, cfg))
+
+
+def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
+    """Schur-eliminate the exiting keyframe (window slot 0) into a 6-DOF
+    Gaussian prior on slot 1 — the pose that becomes the new oldest
+    after the roll (SURVEY.md §7 design principle 2; the reference's
+    iSAM instead keeps the whole trajectory, §3.3).
+
+    What is folded is the **pose chain only**: the current slot-0 prior
+    and the exiting odometry factor 0->1, linearized at the current
+    estimate and with p0 eliminated in closed form
+
+        Hm = H11 - H10 H00^-1 H01 ,
+
+    giving the prior information ``chol(Hm + floor I)^T`` at mean = the
+    current BA estimate of p1.  Two deliberate, empirically-driven
+    choices (see tests/test_marginalization.py):
+
+    - Slot 0's *plane* observations are NOT folded.  Folding them with
+      landmarks held fixed converts relative pose-landmark information
+      into absolute pose information at stale landmark estimates — the
+      classic fixed-linearization inconsistency — and measurably
+      *degrades* ATE (the landmarks themselves remain in the map and
+      keep carrying that information forward).
+    - The prior mean is the current estimate, not the subset-gradient
+      Newton shift -Hm^-1 bm: at a BA optimum the pose-chain subset's
+      gradient is balanced by the (unfolded) plane factors, so shifting
+      by the subset gradient alone injects a systematic bias.  For a
+      pure odometry chain both choices are exact (b = 0 at the MAP).
+
+    ``Hm`` is floored (+``marg_info_floor`` I) so the reduced camera
+    system stays safely positive-definite in float32 — the weakest
+    direction of a long marginal chain otherwise sinks to the Schur
+    formation roundoff (~|S| * 2^-23) and Cholesky can fail.
+    """
+    window = state.window
+    dtype = window.t.dtype
+
+    odom = OdomFactors(
+        i=jnp.zeros((1,), jnp.int32),
+        j=jnp.ones((1,), jnp.int32),
+        R_meas=state.odom_R[:1],
+        t_meas=state.odom_t[:1],
+        sqrt_info=_odom_sqrt_info(cfg, dtype)[None],
+        valid=state.odom_valid[:1],
+    )
+    fdrop = Factors(odom=odom, planes=PlaneFactors.empty(1),
+                    priors=_prior_factors(state, cfg))
+    lin = linearize(window, fdrop, robust=cfg.robust)
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    eps = jnp.asarray(1e-6, dtype)
+    H00 = lin.Hpp[0, 0] + eps * eye6
+    H01 = lin.Hpp[0, 1]
+    H11 = lin.Hpp[1, 1]
+
+    H00_inv = jnp.linalg.inv(H00)
+    Hm = H11 - H01.T @ H00_inv @ H01
+    Hm = 0.5 * (Hm + Hm.T) + cfg.marg_info_floor * eye6
+    sqrt = jnp.linalg.cholesky(Hm).T
+    return window.R[1], window.t[1], sqrt
 
 
 def _keyframe_update(state: SlamState, det: FrameDetections,
@@ -243,6 +355,10 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
 
     # --- slide the window when full ---
     full = state.n_kf >= W
+    if cfg.marginalize:
+        # Fold the exiting keyframe into a prior on the next-oldest pose
+        # (computed from the pre-roll state; applied only when full).
+        m_R, m_t, m_sqrt = _marginalize_oldest(state, cfg)
 
     def rolled(w, o_R, o_t, o_v, p_pi, p_lm, p_v):
         w2 = w._replace(
@@ -278,6 +394,14 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
     pf_pi = pick(pi_r, state.pf_pi)
     pf_lm = pick(plm_r, state.pf_lm)
     pf_valid = pick(pv_r, state.pf_valid)
+    if cfg.marginalize:
+        mprior_R = pick(m_R, state.mprior_R)
+        mprior_t = pick(m_t, state.mprior_t)
+        mprior_sqrt = pick(m_sqrt, state.mprior_sqrt)
+    else:
+        mprior_R, mprior_t, mprior_sqrt = (
+            state.mprior_R, state.mprior_t, state.mprior_sqrt
+        )
 
     # --- write the new keyframe into its slot ---
     slot = jnp.clip(state.n_kf, 0, W - 1)     # after roll: W-1 when full
@@ -299,13 +423,32 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
         window=window, store=store,
         pf_pi=pf_pi, pf_lm=pf_lm, pf_valid=pf_valid,
         odom_R=odom_R, odom_t=odom_t, odom_valid=odom_valid,
+        mprior_R=mprior_R, mprior_t=mprior_t, mprior_sqrt=mprior_sqrt,
     )
 
     # --- windowed bundle adjustment ---
     factors = _build_factors(state, cfg)
-    window_opt, _ = gn_solve(
-        state.window, factors, iters=cfg.gn_iters, damping=cfg.damping
-    )
+    solve_fn = make_solve_fn(cfg.pallas)
+    if cfg.solver == "gn":
+        window_opt, _ = gn_solve(
+            state.window, factors, iters=cfg.gn_iters,
+            damping=cfg.damping, solve_fn=solve_fn,
+            analytic_planes=cfg.analytic_planes, robust=cfg.robust,
+        )
+    elif cfg.solver == "lm":
+        window_opt, _ = lm_solve(
+            state.window, factors, iters=cfg.gn_iters,
+            lam0=max(cfg.damping, 1e-6), solve_fn=solve_fn,
+            analytic_planes=cfg.analytic_planes, robust=cfg.robust,
+        )
+    elif cfg.solver == "dogleg":
+        window_opt, _ = dogleg_solve(
+            state.window, factors, iters=cfg.gn_iters,
+            solve_fn=solve_fn, robust=cfg.robust,
+            analytic_planes=cfg.analytic_planes,
+        )
+    else:
+        raise ValueError(f"unknown solver '{cfg.solver}'")
 
     return state._replace(
         window=window_opt,

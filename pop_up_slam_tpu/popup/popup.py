@@ -383,3 +383,39 @@ def depth_from_popup(
         ground_px, s_g, jnp.where(jnp.isinf(s_wall), max_depth, s_wall)
     )
     return jnp.clip(depth, 0.0, max_depth)
+
+
+def render_depth(
+    K: Intrinsics,
+    res: PopupPlanes,
+    ground_mask: jnp.ndarray,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    max_depth: float = 50.0,
+    wall_height: float = 2.5,
+    extent_pad: float = 0.5,
+    pallas: str = "auto",
+) -> jnp.ndarray:
+    """Backend-dispatching dense depth recovery.
+
+    ``pallas="auto"`` renders through the tiled Pallas z-buffer kernel
+    (:func:`pop_up_slam_tpu.ops.depth_render.depth_render_pallas`) on
+    TPU backends and the pure-jnp reference elsewhere; ``"on"``/``"off"``
+    force one path.  Both match to fp tolerance (tests/test_ops.py).
+    """
+    if pallas not in ("auto", "on", "off"):
+        raise ValueError(f"pallas must be auto|on|off, got {pallas!r}")
+    use = pallas == "on" or (
+        pallas == "auto" and jax.default_backend() == "tpu"
+    )
+    if use:
+        from ..ops.depth_render import depth_render_pallas
+
+        return depth_render_pallas(
+            K, res, ground_mask, R_wc, t_wc, max_depth=max_depth,
+            wall_height=wall_height, extent_pad=extent_pad,
+        )
+    return depth_from_popup(
+        K, res, ground_mask, R_wc, t_wc, max_depth=max_depth,
+        wall_height=wall_height, extent_pad=extent_pad,
+    )

@@ -27,6 +27,18 @@ import time
 import numpy as np
 
 
+def _snapshot(carry_state, est_R, est_t, prev_rel):
+    """Checkpoint pytree: solver carry + trajectory so far + the
+    constant-velocity cache (SURVEY.md §5 "Checkpoint / resume")."""
+    return {
+        "state": carry_state,
+        "est_R": np.stack(est_R).astype(np.float32),
+        "est_t": np.stack(est_t).astype(np.float32),
+        "prev_R": np.asarray(prev_rel[0], np.float32),
+        "prev_t": np.asarray(prev_rel[1], np.float32),
+    }
+
+
 def run_tum_sequence(cfg, odometry: str = "gt_perturb",
                      odom_sigma_t: float = 0.01,
                      odom_sigma_r: float = 0.003,
@@ -85,8 +97,47 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
     est_R = [gt_R[0]]
     est_t = [gt_t[0]]
     prev_rel = (np.eye(3), np.zeros(3))
+
+    def carry():
+        return vo_state if odometry == "plane_vo" else state
+
+    start_k = 1
+    ckpt = cfg.checkpoint_path or None
+    if cfg.resume:
+        from ..utils.checkpoint import load_state
+
+        snap, meta = load_state(
+            cfg.resume, _snapshot(carry(), est_R, est_t, prev_rel)
+        )
+        if meta.get("odometry") != odometry:
+            raise ValueError(
+                f"snapshot was taken in odometry mode "
+                f"{meta.get('odometry')!r}, resuming in {odometry!r}"
+            )
+        start_k = int(meta["next_k"])
+        est_R = list(np.asarray(snap["est_R"]))
+        est_t = list(np.asarray(snap["est_t"]))
+        prev_rel = (np.asarray(snap["prev_R"]), np.asarray(snap["prev_t"]))
+        if odometry == "plane_vo":
+            vo_state = snap["state"]
+            state = vo_state.slam
+        else:
+            state = snap["state"]
+        # keep the gt-perturbation noise stream aligned with an
+        # uninterrupted run: replay the draws of the skipped frames
+        for _ in range(start_k - 1):
+            rng.normal(0, odom_sigma_t, 3)
+            rng.normal(0, odom_sigma_r, 3)
+
+    def maybe_checkpoint(k):
+        if ckpt and cfg.checkpoint_every and k % cfg.checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+
+            save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel),
+                       meta={"next_k": k + 1, "odometry": odometry})
+
     t_start = time.perf_counter()
-    for k in range(1, n):
+    for k in range(start_k, n):
         i = frame_ids[k]
         timer.start("io")
         rgb = tum.load_image(seq, seq.rgb_files[i])
@@ -110,6 +161,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
             est_R.append(R_np)
             est_t.append(t_np)
             logger.log(frame=int(i), n_kf=int(state.n_kf))
+            maybe_checkpoint(k)
             continue
 
         if odometry == "gt_perturb":
@@ -145,7 +197,27 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         est_R.append(R_np)
         est_t.append(t_np)
         logger.log(frame=int(i), n_kf=int(state.n_kf))
+        maybe_checkpoint(k)
     wall = time.perf_counter() - t_start
+
+    if ckpt:
+        from ..utils.checkpoint import save_state
+
+        save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel),
+                   meta={"next_k": n, "odometry": odometry})
+
+    # Marginal covariance of the current keyframe pose (iSAM covariance
+    # recovery parity — SURVEY.md §2.1; solver/covariance.py)
+    from ..factors.graph import linearize as _linearize
+    from ..pipeline.slam import _build_factors
+    from ..solver import recover_marginals
+
+    lin = _linearize(state.window, _build_factors(state, scfg))
+    marg = recover_marginals(lin, state.window)
+    cur = int(np.clip(np.asarray(state.n_kf) - 1, 0, scfg.window_size - 1))
+    pose_cov = np.asarray(marg.pose_cov[cur])
+    trans_std = float(np.sqrt(max(float(np.trace(pose_cov[:3, :3])), 0.0)))
+    rot_std = float(np.sqrt(max(float(np.trace(pose_cov[3:, 3:])), 0.0)))
 
     ate, _, _ = ate_rmse(gt_t[:n], np.stack(est_t))
     if cfg.out_trajectory:
@@ -159,6 +231,8 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         "frames": n,
         "odometry": odometry,
         "ate_rmse_m": round(float(ate), 4),
-        "frames_per_s": round((n - 1) / wall, 2),
+        "frames_per_s": round((n - start_k) / max(wall, 1e-9), 2),
+        "pose_trans_std_m": round(trans_std, 5),
+        "pose_rot_std_rad": round(rot_std, 5),
         "stage_timing": timer.summary(),
     }

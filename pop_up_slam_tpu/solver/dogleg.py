@@ -74,6 +74,7 @@ def dogleg_solve(
     delta_max: float = 100.0,
     solve_fn=solve_schur,
     robust=None,
+    analytic_planes: bool = False,
 ):
     """Fixed-iteration Powell's dog-leg.  Returns (window, SolveStats).
 
@@ -81,7 +82,8 @@ def dogleg_solve(
 
     def step(carry, _):
         w, delta, cost = carry
-        lin = linearize(w, factors, robust=robust)
+        lin = linearize(w, factors, analytic_planes=analytic_planes,
+                        robust=robust)
         gp, gl = _grad(lin, w)
 
         # Gauss-Newton step (tiny damping only for numerical safety).

@@ -49,11 +49,18 @@ def gn_solve(
     iters: int = 5,
     damping: float = 1e-6,
     solve_fn=solve_schur,
+    analytic_planes: bool = False,
+    robust=None,
 ):
-    """Fixed-iteration damped Gauss-Newton. Returns (window, SolveStats)."""
+    """Fixed-iteration damped Gauss-Newton. Returns (window, SolveStats).
+
+    ``analytic_planes`` / ``robust`` thread through to
+    :func:`factors.graph.linearize` (closed-form plane Jacobians; IRLS
+    robust kernels)."""
 
     def step(w, _):
-        lin = linearize(w, factors)
+        lin = linearize(w, factors, analytic_planes=analytic_planes,
+                        robust=robust)
         sol = solve_fn(lin, w, damping)
         w2 = apply_update(w, sol.dxp, sol.dxl)
         sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
@@ -62,7 +69,7 @@ def gn_solve(
     window, (costs, step_norms) = jax.lax.scan(
         step, window, None, length=iters
     )
-    final_cost = total_cost(window, factors)
+    final_cost = total_cost(window, factors, robust=robust)
     return window, SolveStats(
         cost_history=jnp.concatenate([costs, final_cost[None]]),
         step_norms=step_norms,
@@ -79,15 +86,18 @@ def lm_solve(
     lam_up: float = 10.0,
     lam_down: float = 0.3,
     solve_fn=solve_schur,
+    analytic_planes: bool = False,
+    robust=None,
 ):
     """Levenberg-Marquardt with branch-free accept/reject."""
 
     def step(carry, _):
         w, lam, cost = carry
-        lin = linearize(w, factors)
+        lin = linearize(w, factors, analytic_planes=analytic_planes,
+                        robust=robust)
         sol = solve_fn(lin, w, lam)
         w_try = apply_update(w, sol.dxp, sol.dxl)
-        cost_try = total_cost(w_try, factors)
+        cost_try = total_cost(w_try, factors, robust=robust)
         accept = cost_try < cost
         w_next = jax.tree.map(
             lambda a, b: jnp.where(
@@ -102,7 +112,7 @@ def lm_solve(
         sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
         return (w_next, lam_next, cost_next), (cost, sn, lam, accept)
 
-    cost0 = total_cost(window, factors)
+    cost0 = total_cost(window, factors, robust=robust)
     (window, _, final_cost), (costs, step_norms, lambdas, accepted) = (
         jax.lax.scan(step, (window, jnp.asarray(lam0), cost0), None, length=iters)
     )

@@ -118,6 +118,30 @@ def solve_schur(
     return SchurSolution(dxp, dxl, S)
 
 
+def make_solve_fn(pallas: str = "auto"):
+    """Select the reduced-system solver implementation.
+
+    ``pallas``:
+      - ``"auto"``: the Pallas Schur-GEMM + fused-Cholesky kernels on
+        TPU backends, the pure-jnp path elsewhere (CPU interpret-mode
+        Pallas is correct but slow — tests exercise it explicitly).
+      - ``"on"`` / ``"off"``: force one path.
+
+    Both paths are drop-in ``solve_fn``s for the GN/LM/dog-leg drivers
+    and match to fp tolerance (tests/test_ops.py).
+    """
+    if pallas not in ("auto", "on", "off"):
+        raise ValueError(f"pallas must be auto|on|off, got {pallas!r}")
+    use = pallas == "on" or (
+        pallas == "auto" and jax.default_backend() == "tpu"
+    )
+    if not use:
+        return solve_schur
+    from ..ops.schur_pallas import schur_reduce_pallas
+
+    return schur_reduce_pallas
+
+
 def solve_dense(lin: Linearization, window: Window, damping=1e-6):
     """Reference: solve the full (6W + 3L) dense system without Schur.
 

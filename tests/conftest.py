@@ -59,4 +59,16 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_debug_nans", False)
+# SURVEY.md §4/§5: NaN checking on in the unit suite.  Opt out per-test
+# with the `no_debug_nans` fixture for code paths that intentionally
+# produce masked NaN/inf lanes (fixed-capacity padding idiom).
+jax.config.update("jax_debug_nans", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def no_debug_nans():
+    jax.config.update("jax_debug_nans", False)
+    yield
+    jax.config.update("jax_debug_nans", True)

@@ -82,11 +82,14 @@ def test_batched_matches_chunked_exact_odom(sequence):
     np.testing.assert_allclose(np.asarray(R_bat), np.asarray(R_ref), atol=2e-3)
 
 
-def test_batched_tracks_like_per_frame_under_noise(sequence):
+@pytest.mark.parametrize("chunk", [4, 16])
+def test_batched_tracks_like_per_frame_under_noise(sequence, chunk):
     """Noisy odometry: the batched runner must stay in the same accuracy
     class as the per-frame chunked path on the same noisy inputs (the
     two see slightly different pop-up poses, so require closeness of
-    *error*, not bit-equality)."""
+    *error*, not bit-equality).  chunk=16 is the default chunk length —
+    the whole sequence runs as one scan with zero intra-chunk BA
+    feedback, the worst case for dead-reckoned pop-up poses."""
     K, Rs, ts, masks, oR, ot = sequence
     pcfg, scfg = _cfgs()
     key = jax.random.PRNGKey(0)
@@ -97,11 +100,11 @@ def test_batched_tracks_like_per_frame_under_noise(sequence):
 
     s0 = slam_init(scfg, Rs[0], ts[0])
     _, (R_b, t_b) = run_sequence_batched(
-        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=4, donate=False
+        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=chunk, donate=False
     )
     s0 = slam_init(scfg, Rs[0], ts[0])
     _, (R_c, t_c) = run_sequence_chunked(
-        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=4, donate=False
+        s0, masks, oR_n, ot_n, K, pcfg, scfg, chunk=chunk, donate=False
     )
     err_b = np.linalg.norm(np.asarray(t_b) - np.asarray(ts[1:]), axis=-1)
     err_c = np.linalg.norm(np.asarray(t_c) - np.asarray(ts[1:]), axis=-1)
