@@ -71,26 +71,43 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
 
 
+# Small-angle handling.  These coefficient functions all have removable
+# singularities at 0 whose "exact" forms lose catastrophically in
+# float32 well before 1e-8: e.g. (x - sin x)/x^3 has absolute sin error
+# ~eps_f32, so its relative error is ~6 eps_f32/x^2 — 100% wrong at
+# x = 6e-4 — and jacfwd through the cancellation is far worse (this
+# blew up the odometry Jacobians of near-exact between-factors to ~1e7,
+# making the reduced camera system indefinite and the window NaN).
+# Each function therefore switches to a Taylor series below
+# _SMALL = 0.1, where the truncation error (next term ~x^6) is below
+# f32 resolution, and uses cancellation-free exact forms above.
+_SMALL = 0.1
+
+
 def _sinc(x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x)/x, branch-free at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
-    return jnp.where(jnp.abs(x) < _EPS, 1.0 - x * x / 6.0, jnp.sin(safe) / safe)
-
-
-def _cosc(x: jnp.ndarray) -> jnp.ndarray:
-    """(1 - cos(x)) / x**2, branch-free at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
+    """sin(x)/x, branch-free at 0 (no cancellation; guard divide only)."""
+    x2 = x * x
+    safe = jnp.where(jnp.abs(x) < _SMALL, 1.0, x)
     return jnp.where(
-        jnp.abs(x) < _EPS, 0.5 - x * x / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe)
+        jnp.abs(x) < _SMALL,
+        1.0 - x2 / 6.0 + x2 * x2 / 120.0,
+        jnp.sin(safe) / safe,
     )
 
 
+def _cosc(x: jnp.ndarray) -> jnp.ndarray:
+    """(1 - cos(x)) / x**2 == 0.5 * sinc(x/2)^2 — cancellation-free."""
+    s = _sinc(0.5 * x)
+    return 0.5 * s * s
+
+
 def _sincc(x: jnp.ndarray) -> jnp.ndarray:
-    """(x - sin(x)) / x**3, branch-free at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
+    """(x - sin(x)) / x**3, Taylor below _SMALL (f32 cancellation)."""
+    x2 = x * x
+    safe = jnp.where(jnp.abs(x) < _SMALL, 1.0, x)
     return jnp.where(
-        jnp.abs(x) < _EPS,
-        1.0 / 6.0 - x * x / 120.0,
+        jnp.abs(x) < _SMALL,
+        1.0 / 6.0 - x2 / 120.0 + x2 * x2 / 5040.0,
         (safe - jnp.sin(safe)) / (safe * safe * safe),
     )
 
@@ -115,9 +132,17 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     w = q[..., 0]
     v = q[..., 1:]
     vn = _safe_norm(v)
-    # angle = 2*atan2(|v|, w); axis = v/|v|
+    # angle = 2*atan2(|v|, w); axis = v/|v|.  For small |v| (w ~ 1) use
+    # the Taylor expansion 2/w - 2|v|^2/(3 w^3): the exact angle/|v|
+    # quotient is fine in value there but its f32 jacfwd carries
+    # ~eps/|v| cancellation noise.  (Near angle = pi it is w that is
+    # small and |v| ~ 1, so the exact branch applies and is stable.)
+    small = vn < 1e-3
+    w_safe = jnp.maximum(w, _EPS)
+    taylor = 2.0 / w_safe - 2.0 * vn * vn / (3.0 * w_safe**3)
     angle = 2.0 * jnp.arctan2(vn, w)
-    scale = jnp.where(vn < _EPS, 2.0 / jnp.maximum(w, _EPS), angle / jnp.maximum(vn, _EPS))
+    exact = angle / jnp.maximum(vn, _EPS)
+    scale = jnp.where(small, taylor, exact)
     return scale[..., None] * v
 
 
@@ -179,13 +204,17 @@ def se3_V_inv(phi: jnp.ndarray) -> jnp.ndarray:
     theta = _safe_norm(phi)
     K = hat(phi)
     KK = _hat_sq(phi)
-    half = 0.5 * theta
-    # coefficient for KK: (1/theta^2) * (1 - (theta/2) * cot(theta/2))
-    safe = jnp.where(theta < _EPS, 1.0, theta)
+    # coefficient for KK: (1/theta^2) * (1 - (theta/2) * cot(theta/2)).
+    # The exact form is a catastrophic f32 cancellation below ~0.1 rad
+    # (see the _SMALL note above) — Taylor there, exact beyond (where
+    # sin(theta/2) >= sin(0.05) needs no clamp).
+    t2 = theta * theta
+    safe = jnp.where(theta < _SMALL, 1.0, theta)
+    half_s = 0.5 * safe
     cot_term = jnp.where(
-        theta < _EPS,
-        1.0 / 12.0 + theta * theta / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)) / (safe * safe),
+        theta < _SMALL,
+        1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
+        (1.0 - half_s * jnp.cos(half_s) / jnp.sin(half_s)) / (safe * safe),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye - 0.5 * K + cot_term[..., None, None] * KK

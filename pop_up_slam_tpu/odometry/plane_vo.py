@@ -39,9 +39,11 @@ from ..geometry import se3
 
 class PlaneVOConfig(NamedTuple):
     max_angle: float = 0.35      # rad — normal-angle gate for matching
-    max_dist: float = 0.5        # m — |d_a - d_b| gate (after prior warp)
+    max_dist: float = 1.2        # m — |d_a - d_b| gate on the first pass
+    refine_dist: float = 0.3     # m — gate on refine passes (post-align)
+    iters: int = 2               # match/align passes (ICP-style)
     lam_rot: float = 0.05        # prior damping weight, rotation (Wahba)
-    lam_trans: float = 0.05      # prior damping weight, translation
+    lam_trans: float = 0.05     # prior damping weight, translation
     min_matches: int = 1         # below this, fall back to the prior
 
 
@@ -154,21 +156,38 @@ def plane_vo_step(
     cfg: PlaneVOConfig = PlaneVOConfig(),
 ) -> PlaneVOResult:
     """One VO step: match previous-frame planes against current-frame
-    planes (both in their own camera frames) and align.  Falls back to
-    the prior when fewer than ``cfg.min_matches`` pairs survive the
-    gates."""
-    match, _ = match_planes(
-        planes_prev, valid_prev, planes_cur, valid_cur, prior_R, prior_t, cfg
-    )
-    matched = match >= 0
-    idx = jnp.clip(match, 0, planes_cur.shape[0] - 1)
-    pb = planes_cur[idx]
-    w = matched.astype(planes_prev.dtype)
-    R, t = align_planes(
-        planes_prev, pb, w, prior_R, prior_t, cfg.lam_rot, cfg.lam_trans
-    )
-    n = jnp.sum(matched.astype(jnp.int32))
+    planes (both in their own camera frames) and align, iterated
+    ICP-style.  The first pass gates d-innovation at ``cfg.max_dist`` —
+    wide, because against a cold (identity / constant-velocity) prior
+    the innovation of the one plane that makes along-corridor motion
+    observable IS the full frame-to-frame step; refine passes re-warp
+    through the current estimate and tighten to ``cfg.refine_dist``.
+    Damping always pulls toward the *original* prior so the unobservable
+    subspace stays anchored.  Falls back to the prior when fewer than
+    ``cfg.min_matches`` pairs survive the gates."""
+    R_est, t_est = prior_R, prior_t
+    n = jnp.asarray(0, jnp.int32)
+    for k in range(max(cfg.iters, 1)):
+        gate = cfg.max_dist if k == 0 else cfg.refine_dist
+        match, _ = match_planes(
+            planes_prev, valid_prev, planes_cur, valid_cur,
+            R_est, t_est, cfg._replace(max_dist=gate),
+        )
+        matched = match >= 0
+        idx = jnp.clip(match, 0, planes_cur.shape[0] - 1)
+        pb = planes_cur[idx]
+        w = matched.astype(planes_prev.dtype)
+        R_new, t_new = align_planes(
+            planes_prev, pb, w, prior_R, prior_t, cfg.lam_rot,
+            cfg.lam_trans,
+        )
+        n_new = jnp.sum(matched.astype(jnp.int32))
+        # keep the previous pass's result if this pass lost all matches
+        keep = n_new < cfg.min_matches
+        R_est = jnp.where(keep, R_est, R_new)
+        t_est = jnp.where(keep, t_est, t_new)
+        n = jnp.maximum(n, n_new)
     use_prior = n < cfg.min_matches
-    R = jnp.where(use_prior, prior_R, R)
-    t = jnp.where(use_prior, prior_t, t)
+    R = jnp.where(use_prior, prior_R, R_est)
+    t = jnp.where(use_prior, prior_t, t_est)
     return PlaneVOResult(R=R, t=t, n_matches=n, used_prior=use_prior)

@@ -217,7 +217,14 @@ def fit_wall_planes(pts_w: jnp.ndarray, seg_id: jnp.ndarray, cfg: PopupConfig,
     big = jnp.array(1e9, pts_w.dtype)
     pmin = jax.ops.segment_min(jnp.where(seg_id >= 0, proj, big), sid, num_segments=S + 1)[:S]
     pmax = jax.ops.segment_max(jnp.where(seg_id >= 0, proj, -big), sid, num_segments=S + 1)[:S]
+    # Empty buckets come back as the segment_min/max identities (+-inf);
+    # pin them to the segment mean so every output lane stays finite
+    # (jax_debug_nans otherwise falls back to a de-optimized re-run with
+    # different numerics whenever a jit output carries NaN).
     mid_proj = mx * d[:, 0] + my * d[:, 1]
+    empty = n < 0.5
+    pmin = jnp.where(empty, mid_proj, pmin)
+    pmax = jnp.where(empty, mid_proj, pmax)
     c = jnp.stack([mx, my], axis=-1)
     e0 = c + (pmin - mid_proj)[:, None] * d
     e1 = c + (pmax - mid_proj)[:, None] * d
@@ -268,7 +275,12 @@ def pop_up(
     v_b, b_ok = extract_boundary(ground_mask, cfg.min_boundary_rows)
 
     u = jnp.arange(Wd, dtype=jnp.float32)
-    uv = jnp.stack([u, v_b], axis=-1)
+    # The physical ground-wall junction lies between the last wall pixel
+    # (v_b - 1) and the first ground pixel (v_b): sample the boundary at
+    # v_b - 0.5.  Skipping this half-pixel correction biases every
+    # boundary point toward the camera by ~z^2/(2 fy h_cam) — ~0.5 m at
+    # 9 m range with fy=64 — which drags the whole BA backward.
+    uv = jnp.stack([u, v_b - 0.5], axis=-1)
     ground_w = jnp.array([0.0, 0.0, 1.0, 0.0])
     pts3, proj_ok = cam.backproject_to_world_plane(K, uv, R_wc, t_wc, ground_w)
     rng = jnp.linalg.norm(pts3 - t_wc, axis=-1)
