@@ -34,9 +34,18 @@ so vs_baseline = frames_per_s / 30.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent XLA compile cache: the first jit of the chunked runner is
+# ~30 s on a fresh process; cached it is near-free on every rerun.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_FPS = 30.0
 

@@ -28,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr):
+def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr, *,
+                       n_real: int):
+    # Loop bounds stop at the true system size: the lane-padded tail is
+    # an identity diagonal with zero rhs, so its factorization rows are
+    # e_k and its solution entries are exactly the zeros x_ref starts
+    # with — iterating them would only burn (npad - n_real) VPU steps.
     n = S_ref.shape[0]
     f32 = jnp.float32
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -63,13 +68,13 @@ def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr):
         )
         return 0
 
-    jax.lax.fori_loop(0, n, fact_step, 0)
+    jax.lax.fori_loop(0, n_real, fact_step, 0)
 
     # Backward solve U x = y.
     x_ref[:] = jnp.zeros((1, n), f32)
 
     def back_step(i, _):
-        k = n - 1 - i
+        k = n_real - 1 - i
         kf = k.astype(f32)
         u = U_scr[pl.ds(k, 1), :]                        # (1, n)
         ukk = jnp.sum(jnp.where(col == k, u, 0.0))
@@ -79,7 +84,7 @@ def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr):
         x_ref[:] = jnp.where(col == k, xk, x_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, n, back_step, 0)
+    jax.lax.fori_loop(0, n_real, back_step, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -104,7 +109,7 @@ def chol_solve_pallas(
     )
 
     x = pl.pallas_call(
-        _chol_solve_kernel,
+        functools.partial(_chol_solve_kernel, n_real=n),
         out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

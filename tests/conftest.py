@@ -59,6 +59,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# Persistent XLA compilation cache: fresh jit compiles cost 10-60 s on
+# this box and dominate suite wall-clock; cached across test processes
+# and sessions they are near-free.  Lives outside the repo tree.
+jax.config.update("jax_compilation_cache_dir", "/tmp/popup_slam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # SURVEY.md §4/§5: NaN checking on in the unit suite.  Opt out per-test
 # with the `no_debug_nans` fixture for code paths that intentionally
 # produce masked NaN/inf lanes (fixed-capacity padding idiom).
