@@ -14,6 +14,10 @@ factor U (A = U^T U) row by row — row access is a dynamic sublane
 slice, cheap on TPU, whereas column access would be a lane-dimension
 gather.  The trailing-matrix rank-1 update and the forward solve are
 full-width masked VPU ops; total work O(n^3) with n <= a few hundred.
+
+:func:`chol_solve_inplace` is the kernel *body*, shared with the fused
+small-window Schur kernel in :mod:`schur_pallas` (which forms S in VMEM
+and factorizes it without ever writing S to HBM).
 """
 
 from __future__ import annotations
@@ -28,20 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr, *,
-                       n_real: int):
-    # Loop bounds stop at the true system size: the lane-padded tail is
-    # an identity diagonal with zero rhs, so its factorization rows are
-    # e_k and its solution entries are exactly the zeros x_ref starts
-    # with — iterating them would only burn (npad - n_real) VPU steps.
-    n = S_ref.shape[0]
+def chol_solve_inplace(A_scr, U_scr, y_scr, x_ref, n_real: int):
+    """Factorize A (preloaded in ``A_scr``) and solve for the rhs
+    preloaded in ``y_scr``; the solution lands in ``x_ref``.
+
+    Kernel-body helper: all arguments are VMEM refs of one lane-padded
+    tile.  Loop bounds stop at ``n_real`` (the true system size): the
+    padded tail is an identity diagonal with zero rhs, so its
+    factorization rows are e_k and its solution entries are exactly the
+    zeros ``x_ref`` starts with.
+    """
+    n = A_scr.shape[0]
     f32 = jnp.float32
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     colf = col.astype(f32)
 
-    A_scr[:] = S_ref[:]
     U_scr[:] = jnp.zeros((n, n), f32)
-    y_scr[:] = b_ref[:]
 
     def fact_step(k, _):
         row = A_scr[pl.ds(k, 1), :]                     # (1, n)
@@ -54,7 +60,6 @@ def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr, *,
         # Trailing update A[k+1:, k+1:] -= u^T u (masked full-width).
         ut = u.reshape(n, 1)
         rowmask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) > k
-        colmask = colf > kf
         A_scr[:] = A_scr[:] - jnp.where(
             rowmask & (col > k), ut * u, 0.0
         )
@@ -85,6 +90,13 @@ def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr, *,
         return 0
 
     jax.lax.fori_loop(0, n_real, back_step, 0)
+
+
+def _chol_solve_kernel(S_ref, b_ref, x_ref, A_scr, U_scr, y_scr, *,
+                       n_real: int):
+    A_scr[:] = S_ref[:]
+    y_scr[:] = b_ref[:]
+    chol_solve_inplace(A_scr, U_scr, y_scr, x_ref, n_real)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

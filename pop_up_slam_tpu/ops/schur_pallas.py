@@ -29,9 +29,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..factors.graph import Linearization, Window
 from ..solver.schur import SchurSolution, inv3x3
-from .cholesky_pallas import chol_solve_pallas
+from .cholesky_pallas import chol_solve_inplace, chol_solve_pallas
 
 _TILE = 128
+
+
+def _schur_small_kernel(Hpp_ref, B_ref, G_ref, rhs_ref, pm_ref, lam_ref,
+                        S_ref, x_ref, A_scr, U_scr, y_scr, *, n_real: int):
+    """Single-tile fused Schur + masked damping + Cholesky solve.
+
+    For the production window (6W <= 128, 3L <= a few hundred) the whole
+    reduced solve is ONE kernel: S is formed on the MXU straight into
+    VMEM scratch, gauge/damping masks applied, and the factorize + two
+    substitutions run in place — S never round-trips through HBM
+    between stages, and there is a single kernel launch per GN
+    iteration instead of two plus XLA glue.
+
+    rhs_ref carries the already-masked right-hand side -(bp - B bl);
+    pm_ref is the (1, n) free-pose mask; lam_ref a (1, 1) SMEM damping.
+    """
+    n = Hpp_ref.shape[0]
+    f32 = jnp.float32
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    lam = lam_ref[0, 0]
+    pm = pm_ref[:]                                        # (1, n)
+
+    S = Hpp_ref[:] - jax.lax.dot_general(
+        B_ref[:], G_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    diag = (row == col).astype(f32)                       # (n, n)
+    S = S + lam * diag
+    S = S * pm * pm.reshape(n, 1)
+    S = S + (1.0 - pm) * diag
+    S_ref[:] = S
+
+    A_scr[:] = S
+    y_scr[:] = rhs_ref[:] * pm
+    chol_solve_inplace(A_scr, U_scr, y_scr, x_ref, n_real)
 
 
 def _schur_gemm_kernel(Hpp_ref, B_ref, G_ref, S_ref):
@@ -111,20 +148,63 @@ def schur_reduce_pallas(
     Hpp_flat = lin.Hpp.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W).astype(
         jnp.float32
     )
-
-    S = _schur_gemm(Hpp_flat, B, G, interpret)
-    rp = lin.bp.reshape(-1) - (B @ lin.bl.reshape(-1).astype(jnp.float32))
-
-    # Damping + gauge masking (identical to solve_schur).
     free = window.pose_valid & (~window.pose_fixed)
     pm6 = jnp.repeat(free.astype(jnp.float32), 6)
-    S = S + lam * jnp.eye(6 * W, dtype=jnp.float32)
-    S = S * pm6[:, None] * pm6[None, :]
-    S = S + jnp.diag(1.0 - pm6)
-    rp = rp * pm6
+    rp = lin.bp.reshape(-1) - (B @ lin.bl.reshape(-1).astype(jnp.float32))
 
-    dxp_flat = chol_solve_pallas(S, -rp, interpret=interpret)
-    dxp = dxp_flat.reshape(W, 6) * pm6.reshape(W, 6)
+    R = 6 * W
+    if R <= _TILE:
+        # Production window sizes: ONE fused kernel (Schur GEMM +
+        # masked damping + Cholesky factorize/solve, all in VMEM).
+        C = 3 * L
+        Cp = -(-C // _TILE) * _TILE
+        Hpp_p = jnp.zeros((_TILE, _TILE), jnp.float32)
+        Hpp_p = Hpp_p.at[:R, :R].set(Hpp_flat)
+        # padded diagonal is identity so the padded factorization rows
+        # stay e_k even though the loop never visits them
+        Hpp_p = Hpp_p.at[jnp.arange(R, _TILE), jnp.arange(R, _TILE)].set(1.0)
+        B_p = jnp.zeros((_TILE, Cp), jnp.float32).at[:R, :C].set(B)
+        G_p = jnp.zeros((_TILE, Cp), jnp.float32).at[:R, :C].set(G)
+        rhs_p = jnp.zeros((1, _TILE), jnp.float32).at[0, :R].set(-rp)
+        pm_p = jnp.zeros((1, _TILE), jnp.float32).at[0, :R].set(pm6)
+        lam_in = lam.reshape(1, 1)
+
+        S_p, x_p = pl.pallas_call(
+            functools.partial(_schur_small_kernel, n_real=R),
+            out_shape=(
+                jax.ShapeDtypeStruct((_TILE, _TILE), jnp.float32),
+                jax.ShapeDtypeStruct((1, _TILE), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_TILE, _TILE), jnp.float32),
+                pltpu.VMEM((_TILE, _TILE), jnp.float32),
+                pltpu.VMEM((1, _TILE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(Hpp_p, B_p, G_p, rhs_p, pm_p, lam_in)
+        S = S_p[:R, :R]
+        dxp = x_p[0, :R].reshape(W, 6) * pm6.reshape(W, 6)
+    else:
+        S = _schur_gemm(Hpp_flat, B, G, interpret)
+        # Damping + gauge masking (identical to solve_schur).
+        S = S + lam * jnp.eye(6 * W, dtype=jnp.float32)
+        S = S * pm6[:, None] * pm6[None, :]
+        S = S + jnp.diag(1.0 - pm6)
+        rp_m = rp * pm6
+        dxp_flat = chol_solve_pallas(S, -rp_m, interpret=interpret)
+        dxp = dxp_flat.reshape(W, 6) * pm6.reshape(W, 6)
 
     rhs = lin.bl + jnp.einsum("wlab,wa->lb", lin.Hpl, dxp.astype(dtype))
     dxl = -jnp.einsum("lab,lb->la", Hll_inv, rhs)

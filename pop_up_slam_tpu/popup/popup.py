@@ -51,10 +51,20 @@ class PopupConfig(NamedTuple):
     min_cols: int = 12              # min columns for a valid wall segment
     wall_height: float = 2.5        # m, for output polygons only
     min_boundary_rows: int = 2      # min ground pixels per column
+    # Ground-run boundary levels per column.  1 = the classic single
+    # topmost-ground boundary.  >1 pops up a wall at the top of each of
+    # the first `levels` ground runs (top-down): a doorway or an
+    # occluding object splits a column's ground into several runs, each
+    # with its own wall above it — the reference's general polyline
+    # contours handle this case; this is the fixed-shape analog.
+    levels: int = 1
 
 
 class PopupPlanes(NamedTuple):
     """Fixed-capacity pop-up result for one frame.
+
+    With B = cfg.levels boundary levels (1 by default) and
+    S = B * cfg.max_segments total wall slots:
 
     planes_w     : (S, 4) world-frame wall planes (unit, canonical sign).
     planes_c     : (S, 4) the same planes in the camera frame.
@@ -65,9 +75,11 @@ class PopupPlanes(NamedTuple):
     clipped      : (S, 2) bool — endpoint cut off by the view (the wall
                    extends beyond the visible ground junction).
     ground_c     : (4,) ground plane in the camera frame.
-    boundary_v   : (W,) f32 boundary row per column (image v).
-    boundary_ok  : (W,) bool.
-    seg_id       : (W,) int32 wall segment per column (-1 invalid).
+    boundary_v   : (W,) f32 boundary row per column (image v);
+                   (B, W) when B > 1.
+    boundary_ok  : (W,) bool; (B, W) when B > 1.
+    seg_id       : (W,) int32 wall segment per column (-1 invalid);
+                   flattened (B*W,) when B > 1 (level-major).
     """
 
     planes_w: jnp.ndarray
@@ -98,6 +110,36 @@ def extract_boundary(ground_mask: jnp.ndarray, min_rows: int = 2):
     count = jnp.sum(ground_mask, axis=0)
     ok = (count >= min_rows) & (v_top < H)
     return v_top.astype(jnp.float32), ok
+
+
+def extract_boundaries(ground_mask: jnp.ndarray, min_rows: int = 2,
+                       levels: int = 2):
+    """Tops of the first ``levels`` ground runs per column, top-down.
+
+    A "run" is a maximal vertical strip of consecutive ground pixels; a
+    run top with at least ``min_rows`` consecutive ground pixels below
+    it is a wall-ground boundary candidate (the wall stands above it).
+    Returns (v (levels, W) f32 — row of each run top, image order;
+    ok (levels, W) bool).  ``levels=1`` differs from
+    :func:`extract_boundary` only in requiring *consecutive* (not
+    total) ground rows.
+    """
+    H, W = ground_mask.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    above = jnp.pad(ground_mask[:-1], ((1, 0), (0, 0)))
+    is_top = ground_mask & ~above
+    # run_ok[v]: mask[v : v + min_rows] all ground (window-AND looking
+    # down; bottom rows padded False so truncated runs fail the test).
+    m = jnp.pad(ground_mask, ((0, max(min_rows - 1, 0)), (0, 0)))
+    run_ok = jax.lax.reduce_window(
+        m.astype(jnp.int32), 1, jax.lax.min,
+        (max(min_rows, 1), 1), (1, 1), "VALID",
+    ).astype(bool)
+    top_ok = is_top & run_ok
+    cand = jnp.where(top_ok, rows, jnp.int32(H + 1))
+    v = jnp.sort(cand, axis=0)[:levels]                   # (levels, W)
+    ok = v <= H - 1
+    return v.astype(jnp.float32), ok
 
 
 def _window_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -272,38 +314,64 @@ def pop_up(
     matter for the single-view geometry, matching the paper.
     """
     H, Wd = ground_mask.shape
-    v_b, b_ok = extract_boundary(ground_mask, cfg.min_boundary_rows)
-
-    u = jnp.arange(Wd, dtype=jnp.float32)
-    # The physical ground-wall junction lies between the last wall pixel
-    # (v_b - 1) and the first ground pixel (v_b): sample the boundary at
-    # v_b - 0.5.  Skipping this half-pixel correction biases every
-    # boundary point toward the camera by ~z^2/(2 fy h_cam) — ~0.5 m at
-    # 9 m range with fy=64 — which drags the whole BA backward.
-    uv = jnp.stack([u, v_b - 0.5], axis=-1)
-    ground_w = jnp.array([0.0, 0.0, 1.0, 0.0])
-    pts3, proj_ok = cam.backproject_to_world_plane(K, uv, R_wc, t_wc, ground_w)
-    rng = jnp.linalg.norm(pts3 - t_wc, axis=-1)
-    pt_ok = b_ok & proj_ok & (rng < cfg.max_range)
-    pts_w = pts3[:, :2]
-
-    seg_id = segment_boundary(pts_w, pt_ok, cfg)
-    planes_w, endpoints_w, n_pts, valid, clipped = fit_wall_planes(
-        pts_w, seg_id, cfg, pt_ok
-    )
+    if cfg.levels > 1:
+        v_bs, b_oks = extract_boundaries(
+            ground_mask, cfg.min_boundary_rows, cfg.levels
+        )                                                  # (B, W)
+    else:
+        v_b1, b_ok1 = extract_boundary(ground_mask, cfg.min_boundary_rows)
+        v_bs, b_oks = v_b1[None], b_ok1[None]
 
     R_cw, t_cw = se3.se3_inverse(R_wc, t_wc)
-    planes_c = plane_mod.transform(planes_w, R_cw, t_cw)
+    ground_w = jnp.array([0.0, 0.0, 1.0, 0.0])
     ground_c = plane_mod.transform(ground_w, R_cw, t_cw)
+    u = jnp.arange(Wd, dtype=jnp.float32)
 
-    # Camera-frame centroid of each wall's boundary points (for gating).
-    S = cfg.max_segments
-    sid = jnp.where(seg_id >= 0, seg_id, S)
-    pts_c = se3.se3_apply(R_cw, t_cw, pts3)
-    csum = jax.ops.segment_sum(
-        jnp.where((seg_id >= 0)[:, None], pts_c, 0.0), sid, num_segments=S + 1
-    )[:S]
-    centroid_c = csum / jnp.maximum(n_pts[:, None].astype(csum.dtype), 1.0)
+    def level(v_b, b_ok):
+        # The physical ground-wall junction lies between the last wall
+        # pixel (v_b - 1) and the first ground pixel (v_b): sample the
+        # boundary at v_b - 0.5.  Skipping this half-pixel correction
+        # biases every boundary point toward the camera by
+        # ~z^2/(2 fy h_cam) — ~0.5 m at 9 m range with fy=64 — which
+        # drags the whole BA backward.
+        uv = jnp.stack([u, v_b - 0.5], axis=-1)
+        pts3, proj_ok = cam.backproject_to_world_plane(
+            K, uv, R_wc, t_wc, ground_w
+        )
+        rng = jnp.linalg.norm(pts3 - t_wc, axis=-1)
+        pt_ok = b_ok & proj_ok & (rng < cfg.max_range)
+        pts_w = pts3[:, :2]
+
+        seg_id = segment_boundary(pts_w, pt_ok, cfg)
+        planes_w, endpoints_w, n_pts, valid, clipped = fit_wall_planes(
+            pts_w, seg_id, cfg, pt_ok
+        )
+        planes_c = plane_mod.transform(planes_w, R_cw, t_cw)
+
+        # Camera-frame centroid of each wall's boundary points.
+        S = cfg.max_segments
+        sid = jnp.where(seg_id >= 0, seg_id, S)
+        pts_c = se3.se3_apply(R_cw, t_cw, pts3)
+        csum = jax.ops.segment_sum(
+            jnp.where((seg_id >= 0)[:, None], pts_c, 0.0), sid,
+            num_segments=S + 1,
+        )[:S]
+        centroid_c = csum / jnp.maximum(
+            n_pts[:, None].astype(csum.dtype), 1.0
+        )
+        return (planes_w, planes_c, endpoints_w, centroid_c, n_pts,
+                valid, clipped, seg_id)
+
+    if cfg.levels > 1:
+        outs = jax.vmap(level)(v_bs, b_oks)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        (planes_w, planes_c, endpoints_w, centroid_c, n_pts, valid,
+         clipped, seg_id) = (flat(o) for o in outs)
+        boundary_v, boundary_ok = v_bs, b_oks
+    else:
+        (planes_w, planes_c, endpoints_w, centroid_c, n_pts, valid,
+         clipped, seg_id) = level(v_bs[0], b_oks[0])
+        boundary_v, boundary_ok = v_bs[0], b_oks[0]
 
     return PopupPlanes(
         planes_w=planes_w,
@@ -314,8 +382,8 @@ def pop_up(
         valid=valid,
         clipped=clipped,
         ground_c=ground_c,
-        boundary_v=v_b,
-        boundary_ok=b_ok,
+        boundary_v=boundary_v,
+        boundary_ok=boundary_ok,
         seg_id=seg_id,
     )
 

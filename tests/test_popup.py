@@ -94,3 +94,64 @@ class TestPopup:
         )
         assert res.planes_w.shape == (3, cfg.max_segments, 4)
         assert bool(res.valid.any())
+
+
+class TestMultiLevel:
+    """Multi-level boundaries (PopupConfig.levels > 1): a low obstacle
+    splits a column's ground into two runs — the classic single-level
+    boundary sees only the far run and misses the obstacle entirely."""
+
+    def _world_with_obstacle(self):
+        # corridor + a 0.4 m tall crate spanning the width at y = 4
+        return synthetic.make_world(
+            [
+                ((-1.0, 0.0), (-1.0, 10.0)),       # left wall
+                ((1.0, 0.0), (1.0, 10.0)),         # right wall
+                ((-1.0, 10.0), (1.0, 10.0)),       # end wall
+                ((-1.0, 4.0), (1.0, 4.0)),         # low obstacle
+            ],
+            heights=[2.5, 2.5, 2.5, 0.4],
+        )
+
+    def _frame(self):
+        K2 = Intrinsics.create(160.0, 160.0, 160.0, 120.0)
+        world = self._world_with_obstacle()
+        R, t = synthetic.corridor_trajectory(1)
+        labels, _ = synthetic.render_frame(K2, R[0], t[0], world, 240, 320)
+        return K2, world, R[0], t[0], labels == synthetic.LABEL_GROUND
+
+    def test_extract_boundaries_finds_two_runs(self):
+        _, _, _, _, ground = self._frame()
+        v, ok = pp.extract_boundaries(np.asarray(ground), 2, 2)
+        v, ok = np.asarray(v), np.asarray(ok)
+        mid = ground.shape[1] // 2
+        # center columns see ground behind the obstacle AND in front
+        assert ok[0, mid] and ok[1, mid]
+        assert v[0, mid] < v[1, mid]
+
+    def test_two_level_popup_recovers_obstacle_plane(self):
+        K2, world, R0, t0, ground = self._frame()
+        cfg1 = pp.PopupConfig(levels=1)
+        cfg2 = pp.PopupConfig(levels=2)
+        res1 = pp.pop_up(K2, ground, R0, t0, cfg1)
+        res2 = pp.pop_up(K2, ground, R0, t0, cfg2)
+
+        def best_err(res, gt_plane):
+            est = np.asarray(res.planes_w)[np.asarray(res.valid)]
+            if est.size == 0:
+                return np.inf
+            return min(
+                min(np.linalg.norm(e - gt_plane), np.linalg.norm(e + gt_plane))
+                for e in est
+            )
+
+        obstacle = np.asarray(world.planes())[3]
+        end_wall = np.asarray(world.planes())[2]
+        # two-level finds the obstacle front plane; single-level has no
+        # boundary there (its closest valid plane is a spurious edge
+        # segment several times farther off)
+        assert best_err(res2, obstacle) < 0.05, best_err(res2, obstacle)
+        assert best_err(res1, obstacle) > 2.0 * best_err(res2, obstacle)
+        # both still find the end wall (the far run's boundary)
+        assert best_err(res2, end_wall) < 0.05
+        assert res2.planes_w.shape[0] == 2 * cfg2.max_segments
