@@ -64,8 +64,12 @@ def test_keyframe_sharded_linearize_matches(problem, n_dev):
     )
     lin_d = keyframe_sharded_linearize(window, routed, mesh)
     lin_s = linearize(window, factors)
+    # H entries reach ~1e8 (tight whitening squared); f32 reduction
+    # order differs across shards, so compare relative with a floor.
     for a, b in zip(jax.tree.leaves(lin_d), jax.tree.leaves(lin_s)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-3
+        )
 
 
 @pytest.mark.parametrize("n_dev", [2])
