@@ -17,16 +17,26 @@ Usage:  python scripts/multichip_check.py   (forces JAX_PLATFORMS=cpu)
 
 import json
 import os
+import subprocess
 import sys
 import traceback
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-).strip()
-os.environ.pop("PYTHONPATH", None)
-os.environ.setdefault("_POPUP_SLAM_TEST_REEXEC", "1")
+# A sitecustomize on PYTHONPATH can register a TPU PJRT plugin (and
+# initialize jax) at interpreter startup — before this file runs, making
+# in-process env edits too late (the 8-device flag silently no-ops and
+# every check degenerates to 1 device).  Re-exec once with a scrubbed
+# environment, exactly like tests/conftest.py.
+if os.environ.get("_POPUP_SLAM_MCC_REEXEC") != "1":
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": "",
+        "_POPUP_SLAM_MCC_REEXEC": "1",
+        "_POPUP_SLAM_TEST_REEXEC": "1",
+    })
+    ret = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+    sys.exit(ret.returncode)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
@@ -35,6 +45,9 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/popup_slam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
@@ -116,13 +129,28 @@ def main():
            make_check(distributed_gn_solve))
     record("map_block_ba", "matches 1-device solve to 5e-3",
            make_check(map_block_gn_solve))
-    if window.window_size % n_dev == 0:
-        record("keyframe_sharded_ba", "matches 1-device solve to 5e-3",
-               make_check(keyframe_sharded_gn_solve))
+    # keyframe sharding needs the window to divide evenly: use the
+    # largest divisor of W that fits the device count as a submesh.
+    kf_dev = max(
+        (d for d in range(2, n_dev + 1) if window.window_size % d == 0),
+        default=0,
+    )
+    if kf_dev:
+        kf_mesh = make_mesh(kf_dev)
+        record(
+            "keyframe_sharded_ba",
+            f"matches 1-device solve to 5e-3 ({kf_dev}-device submesh)",
+            make_check(
+                lambda w, f, _m, **kw: keyframe_sharded_gn_solve(
+                    w, f, kf_mesh, **kw
+                )
+            ),
+        )
     else:
         results["keyframe_sharded_ba"] = {
             "ok": None, "invariant": "matches 1-device solve to 5e-3",
-            "skipped": f"window {window.window_size} % {n_dev} != 0",
+            "skipped": f"window {window.window_size} has no divisor "
+                       f"<= {n_dev}",
         }
 
     out = {

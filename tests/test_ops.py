@@ -143,6 +143,23 @@ def test_schur_reduce_pallas_matches_reference():
     np.testing.assert_allclose(out.dxl, ref.dxl, rtol=1e-4, atol=1e-4)
 
 
+def test_schur_reduce_pallas_tiled_path():
+    """6W > 128 takes the tiled two-kernel path (the fused single-tile
+    kernel covers production windows only) — must still match the
+    reference solver."""
+    from pop_up_slam_tpu.solver import schur as schur_mod
+
+    window, lin = _random_spd_system(jax.random.PRNGKey(11), W=23, L=9)
+    assert 6 * window.window_size > 128
+    ref = schur_mod.solve_schur(lin, window, damping=1e-3)
+    out = ops.schur_reduce_pallas(lin, window, damping=1e-3,
+                                  interpret=True)
+    # 138-dim f32 factorization: different accumulation orders give
+    # ~1e-3 absolute differences on O(5) solution entries
+    np.testing.assert_allclose(out.dxp, ref.dxp, rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(out.dxl, ref.dxl, rtol=1e-3, atol=5e-3)
+
+
 @pytest.mark.parametrize("n", [12, 30, 64, 130])
 def test_chol_solve_pallas(n):
     key = jax.random.PRNGKey(n)
