@@ -52,7 +52,11 @@ class SlamConfig(NamedTuple):
     max_det: int = 9              # wall detections + ground slot
     kf_trans: float = 0.25        # m — keyframe translation threshold
     kf_rot: float = 0.15          # rad — keyframe rotation threshold
-    gn_iters: int = 4
+    # GN iterations per keyframe re-solve.  The window is warm-started
+    # (every pose/landmark was optimized last keyframe), so 2 iterations
+    # reach the same ATE as 6 on the noisy corridor (mean err 0.1164 at
+    # 2/3/4/6 vs 0.1184 at 1) — mirroring iSAM's sparing relinearization.
+    gn_iters: int = 2
     damping: float = 1e-5
     odom_sigma_t: float = 0.03    # m
     odom_sigma_r: float = 0.01    # rad
