@@ -2,49 +2,76 @@
 
 Prints ONE JSON line whose required keys are {"metric", "value",
 "unit", "vs_baseline"} (the headline frames/s); the BASELINE.json
-secondary metric "BA iters/s per chip" and the Pallas-vs-jnp solver
-delta ride along as extra keys in the same object.
+secondary metric "BA iters/s per chip", the Pallas-vs-jnp solver
+delta, and kernel-efficiency accounting ride along as extra keys in
+the same object.
+
+Robustness design (round-3 post-mortem, VERDICT.md item 1: the driver
+run timed out with *zero* output because everything — including input
+generation — sat in front of the single final print):
+
+- **Inputs are pre-rendered.**  ``bench_data/corridor_inputs.npz``
+  (committed, ~80 KB) holds the packed ground masks + exact odometry;
+  loading them is pure numpy.  Nothing but the system under test is
+  ever compiled.
+- **Committed compile cache.**  ``bench_cache/`` ships the XLA
+  executables for this file's jit programs, so a fresh checkout on the
+  same backend skips the multi-minute server-side compiles entirely.
+- **Watchdog thread + staged results.**  A daemon thread holds a
+  deadline (``POPUP_BENCH_BUDGET_S``, default 420 s).  Each measurement
+  stage updates a shared best-known result; if the deadline passes —
+  even while the main thread is blocked inside an XLA call — the
+  watchdog prints the best-known JSON line and exits 0.  The cheap
+  stages run first: a 2-chunk headline estimate lands before the full
+  8-chunk measurement, which lands before the BA-solver and MFU
+  extras.  A hang can therefore only degrade precision, not erase the
+  round's number.
 
 Headline: the full per-frame path (BASELINE metric "frames/s at
 1 chip"): segmentation mask -> pop-up plane extraction -> data
 association -> sliding-window Gauss-Newton BA with Schur elimination ->
 pose.  Every frame takes the keyframe path (worst case: the full BA
-solve runs each frame).  Frames are processed through the chunked
-runner (pop_up_slam_tpu.pipeline.offline): ``CHUNK`` consecutive frames
-per dispatch inside one ``lax.scan``, state donated between chunks —
-the per-frame computation is identical to the interactive path, only
-the host->device round trip per frame (~3.5 ms through the tunneled
-chip) is amortized away.
+solve runs each frame).  Frames go through the chunked runner
+(pop_up_slam_tpu.pipeline.offline): 16 consecutive frames per dispatch
+inside one ``lax.scan``, state donated between chunks — per-frame
+computation identical to the interactive path, only the host->device
+round trip per frame (~3.5 ms through the tunneled chip) is amortized.
 
 BA iters/s: K Gauss-Newton iterations (linearize -> Schur -> blocked
-Cholesky -> retract) on a representative populated window (W=8 poses,
-L=64 landmark slots, the default SlamConfig) harvested from the
-headline run's final state, using the production solver configuration
-(analytic plane Jacobians; Pallas Schur+Cholesky on TPU via
-make_solve_fn("auto")).  On TPU the jnp solver is also timed and the
-speedup reported; on CPU the Pallas interpret mode is skipped (it is a
-correctness path only, exercised by tests/test_ops.py).
+Cholesky -> retract) on the populated window harvested from the
+headline run's final state, using the production solver configuration.
+On TPU both the Pallas path and the jnp path are timed and the speedup
+reported.
+
+MFU extras: analytic FLOP count for the Schur-GEMM + Cholesky solve
+per GN iteration, reported as achieved GFLOP/s (the absolute number is
+tiny — a 48x192 Schur GEMM cannot fill an MXU; the honest metric here
+is iteration *latency*, which the fused single-launch kernel
+minimizes; see BASELINE.md).
 
 ``vs_baseline``: the reference (shichaoy/pop_up_slam, ROS/C++/iSAM on
-CPU) reports real-time-capable per-frame processing; the paper's timing
-discussion puts pop-up + SLAM update at ~order tens of ms per frame
-excluding CNN segmentation (SURVEY.md §6 — recalled, reference mount
-empty).  We take 30 fps as the reference-equivalent throughput bound,
-so vs_baseline = frames_per_s / 30.
+CPU) reports real-time-capable per-frame processing (paper timing
+discussion; SURVEY.md §6 — recalled, reference mount empty).  We take
+30 fps as the reference-equivalent throughput bound, so
+vs_baseline = frames_per_s / 30 (provisional, labeled).
 """
 
 import json
 import os
+import sys
+import threading
 import time
+
+import numpy as np
 
 import jax
 
-# Persistent XLA compile cache: the first jit of the chunked runner is
-# ~30 s on a fresh process; cached it is near-free on every rerun.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Committed persistent XLA compile cache: a fresh checkout hits the
+# executables compiled when this cache was populated (same backend),
+# skipping the multi-minute server-side compile of the chunked runner.
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, "bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_FPS = 30.0
@@ -52,10 +79,81 @@ REFERENCE_FPS = 30.0
 H, W = 480, 640
 CHUNK = 16
 N_WARMUP_CHUNKS = 1
-N_CHUNKS = 8
+N_QUICK_CHUNKS = 2    # stage-A headline estimate
+N_CHUNKS = 8          # stage-B full measurement
 
 BA_ITERS = 8          # GN iterations per timed solve call
 BA_REPEATS = 20       # timed solve calls
+
+# ---------------------------------------------------------------------------
+# Watchdog: print the best-known result and exit before the driver's
+# outer timeout can erase it.
+# ---------------------------------------------------------------------------
+
+_BUDGET_S = float(os.environ.get("POPUP_BENCH_BUDGET_S", "420"))
+_T0 = time.monotonic()
+_lock = threading.Lock()
+_result = None          # best-known headline dict (stage A onward)
+_printed = False
+
+
+def _log(msg):
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _publish(**updates):
+    global _result
+    with _lock:
+        if _result is None:
+            _result = {}
+        _result.update(updates)
+
+
+def _finalize(reason):
+    """Print the single JSON line exactly once and flush."""
+    global _printed
+    with _lock:
+        if _printed:
+            return False
+        _printed = True
+        res = dict(_result) if _result else None
+    if res is None:
+        _log(f"finalize({reason}): no measurement completed — no output")
+        return False
+    if reason != "complete":
+        res["partial"] = reason
+    print(json.dumps(res), flush=True)
+    _log(f"finalize({reason}): printed headline value={res.get('value')}")
+    return True
+
+
+def _watchdog():
+    remaining = _BUDGET_S - (time.monotonic() - _T0)
+    while remaining > 0:
+        time.sleep(min(remaining, 5.0))
+        remaining = _BUDGET_S - (time.monotonic() - _T0)
+    if _finalize("watchdog_budget_exceeded"):
+        os._exit(0)
+    os._exit(3)
+
+
+def _load_inputs():
+    """Load the pre-rendered corridor masks + odometry (pure numpy)."""
+    z = np.load(os.path.join(_REPO, "bench_data", "corridor_inputs.npz"))
+    n, h, w = z["shape"]
+    masks = np.unpackbits(z["masks_packed"], axis=-1)[..., :w].astype(bool)
+    assert masks.shape == (n, h, w)
+    return masks, z["odom_R"], z["odom_t"], z["R0"], z["t0"]
+
+
+def _headline(fps):
+    return {
+        "metric": "slam_frames_per_s_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }
 
 
 def _time_solver(window, factors, scfg, pallas):
@@ -82,11 +180,27 @@ def _time_solver(window, factors, scfg, pallas):
     return BA_REPEATS * BA_ITERS / dt
 
 
+def _schur_flops_per_iter(n_poses, n_landmarks):
+    """Analytic FLOPs of one GN iteration's Schur solve (dominant terms).
+
+    P = 6*n_poses pose dofs, M = 3*n_landmarks landmark dofs.
+      Hll^-1 (batched 3x3 inverses):      ~45 flops each
+      B = Hpl Hll^-1:                      2*P*M*3  (block-diag rhs)
+      S = Hpp - B Hpl^T:                   2*P*M*P
+      Cholesky of S:                       P^3/3
+      two triangular solves + landmark back-substitution: 2*P^2 + 2*M*P
+    """
+    P = 6 * n_poses
+    M = 3 * n_landmarks
+    return (45 * n_landmarks + 2 * P * M * 3 + 2 * P * M * P
+            + P ** 3 // 3 + 2 * P * P + 2 * M * P)
+
+
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import pop_up_slam_tpu  # noqa: F401 — sets matmul precision
-    from pop_up_slam_tpu.geometry import se3
     from pop_up_slam_tpu.geometry.camera import Intrinsics
-    from pop_up_slam_tpu.io import synthetic
     from pop_up_slam_tpu.pipeline import (
         SlamConfig,
         make_chunked_runner,
@@ -95,62 +209,102 @@ def main():
     from pop_up_slam_tpu.pipeline.slam import _build_factors
     from pop_up_slam_tpu.popup import popup as pp
 
+    _log(f"backend={jax.default_backend()} budget={_BUDGET_S:.0f}s")
+
     K = Intrinsics.create(320.0, 320.0, 320.0, 240.0)
     pcfg = pp.PopupConfig()
     # kf thresholds 0 => every frame is a keyframe: worst-case load.
     scfg = SlamConfig(max_det=pcfg.max_segments + 1, kf_trans=0.0,
                       kf_rot=0.0)
 
-    world = synthetic.corridor_world()
-    n = (N_WARMUP_CHUNKS + N_CHUNKS) * CHUNK
-    Rs, ts = synthetic.corridor_trajectory(n + 1)
-    labels, _ = jax.jit(
-        jax.vmap(lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W))
-    )(Rs, ts)
-    masks = labels[1:] == synthetic.LABEL_GROUND
-    oR, ot = se3.se3_between(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
-    masks, oR, ot = jax.device_put((masks, oR, ot))
+    masks_np, oR_np, ot_np, R0, t0_ = _load_inputs()
+    masks, oR, ot = jax.device_put((masks_np, oR_np, ot_np))
     jax.block_until_ready(masks)
+    _log("inputs loaded + on device")
 
     run = make_chunked_runner(K, pcfg, scfg, donate=True)
     mc = masks.reshape(-1, CHUNK, H, W)
     oc = oR.reshape(-1, CHUNK, 3, 3)
     tc = ot.reshape(-1, CHUNK, 3)
 
-    state = slam_init(scfg, Rs[0], ts[0])
+    state = slam_init(scfg, R0, t0_)
+    jax.block_until_ready(state)
+    _log("state initialized")
+    lowered = run.trace(state, mc[0], oc[0], tc[0])
+    _log("chunked runner traced")
+    compiled = lowered.lower().compile()
+    _log("chunked runner compiled")
     for c in range(N_WARMUP_CHUNKS):
         state, out = run(state, mc[c], oc[c], tc[c])
     jax.block_until_ready(out)
+    _log("chunked runner warm")
 
+    # --- Stage A: quick 2-chunk headline estimate ---
     t0 = time.perf_counter()
-    for c in range(N_WARMUP_CHUNKS, N_WARMUP_CHUNKS + N_CHUNKS):
+    for c in range(N_WARMUP_CHUNKS, N_WARMUP_CHUNKS + N_QUICK_CHUNKS):
         state, out = run(state, mc[c], oc[c], tc[c])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    fps = N_CHUNKS * CHUNK / dt
+    fps_quick = N_QUICK_CHUNKS * CHUNK / dt
+    _publish(**_headline(fps_quick), measured_chunks=N_QUICK_CHUNKS)
+    _log(f"stage A (quick): {fps_quick:.1f} frames/s")
 
-    # --- BA iters/s on the populated window from the run above ---
+    # --- Stage B: full measurement over the remaining chunks ---
+    n_rest = N_CHUNKS - N_QUICK_CHUNKS
+    t0 = time.perf_counter()
+    for c in range(N_WARMUP_CHUNKS + N_QUICK_CHUNKS,
+                   N_WARMUP_CHUNKS + N_CHUNKS):
+        state, out = run(state, mc[c], oc[c], tc[c])
+    jax.block_until_ready(out)
+    dt += time.perf_counter() - t0
+    fps = N_CHUNKS * CHUNK / dt
+    _publish(**_headline(fps), measured_chunks=N_CHUNKS)
+    _log(f"stage B (full): {fps:.1f} frames/s")
+
+    # --- Stage C: BA iters/s on the populated window from the run ---
     window = state.window
     factors = _build_factors(state, scfg)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() != "cpu"
     ba_auto = _time_solver(window, factors, scfg, "auto")
-    extra = {
-        "ba_iters_per_s_1chip": round(ba_auto, 2),
-        "ba_window": [window.window_size, window.max_landmarks],
-        "ba_solver": "pallas" if on_tpu else "jnp",
-    }
+    n_land = int(window.max_landmarks)
+    flops = _schur_flops_per_iter(int(window.window_size), n_land)
+    _publish(
+        ba_iters_per_s_1chip=round(ba_auto, 2),
+        ba_window=[int(window.window_size), n_land],
+        ba_solver="pallas" if on_tpu else "jnp",
+        schur_gflops_per_s=round(ba_auto * flops / 1e9, 2),
+        schur_flops_per_iter=flops,
+    )
+    _log(f"stage C: BA auto {ba_auto:.0f} iters/s")
     if on_tpu:
         ba_jnp = _time_solver(window, factors, scfg, "off")
-        extra["ba_iters_per_s_jnp"] = round(ba_jnp, 2)
-        extra["pallas_solve_speedup"] = round(ba_auto / ba_jnp, 3)
+        _publish(
+            ba_iters_per_s_jnp=round(ba_jnp, 2),
+            pallas_solve_speedup=round(ba_auto / ba_jnp, 3),
+        )
+        _log(f"stage C: BA jnp {ba_jnp:.0f} iters/s "
+             f"(pallas speedup {ba_auto / ba_jnp:.2f}x)")
 
-    print(json.dumps({
-        "metric": "slam_frames_per_s_1chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 3),
-        **extra,
-    }))
+    # --- Stage D: device-time split (pop-up front-end vs full frame) ---
+    popup_batch = jax.jit(
+        jax.vmap(lambda m: pp.pop_up(K, m, R0, t0_, pcfg))
+    )
+    res = popup_batch(mc[0])
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        res = popup_batch(mc[0])
+    jax.block_until_ready(res)
+    popup_us = (time.perf_counter() - t0) / (10 * CHUNK) * 1e6
+    frame_us = 1e6 / fps
+    _publish(
+        popup_us_per_frame=round(popup_us, 1),
+        frame_us_total=round(frame_us, 1),
+        backend_share_popup=round(popup_us / frame_us, 3),
+    )
+    _log(f"stage D: popup {popup_us:.0f} us/frame of {frame_us:.0f} us")
+
+    _finalize("complete")
 
 
 if __name__ == "__main__":
