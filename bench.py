@@ -266,24 +266,29 @@ def main():
     factors = _build_factors(state, scfg)
     on_tpu = jax.default_backend() != "cpu"
     ba_auto = _time_solver(window, factors, scfg, "auto")
-    n_land = int(window.max_landmarks)
-    flops = _schur_flops_per_iter(int(window.window_size), n_land)
+    Wn, n_land = int(window.window_size), int(window.max_landmarks)
+    flops = _schur_flops_per_iter(Wn, n_land)
+    auto_is_pallas = on_tpu and 6 * Wn * 3 * n_land >= 16384
     _publish(
         ba_iters_per_s_1chip=round(ba_auto, 2),
-        ba_window=[int(window.window_size), n_land],
-        ba_solver="pallas" if on_tpu else "jnp",
+        ba_window=[Wn, n_land],
+        ba_solver=("auto:pallas" if auto_is_pallas else "auto:jnp")
+        if on_tpu else "jnp",
         schur_gflops_per_s=round(ba_auto * flops / 1e9, 2),
         schur_flops_per_iter=flops,
     )
     _log(f"stage C: BA auto {ba_auto:.0f} iters/s")
     if on_tpu:
+        # kernel-vs-jnp comparison at this window size (forced paths)
+        ba_pallas = _time_solver(window, factors, scfg, "on")
         ba_jnp = _time_solver(window, factors, scfg, "off")
         _publish(
             ba_iters_per_s_jnp=round(ba_jnp, 2),
-            pallas_solve_speedup=round(ba_auto / ba_jnp, 3),
+            ba_iters_per_s_pallas=round(ba_pallas, 2),
+            pallas_solve_speedup=round(ba_pallas / ba_jnp, 3),
         )
-        _log(f"stage C: BA jnp {ba_jnp:.0f} iters/s "
-             f"(pallas speedup {ba_auto / ba_jnp:.2f}x)")
+        _log(f"stage C: BA pallas {ba_pallas:.0f} / jnp {ba_jnp:.0f} "
+             f"iters/s (kernel speedup {ba_pallas / ba_jnp:.2f}x)")
 
     # --- Stage D: device-time split (pop-up front-end vs full frame) ---
     popup_batch = jax.jit(

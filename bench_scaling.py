@@ -1,0 +1,192 @@
+"""Scaling-efficiency protocol: the measurement the >=70%-at-2-hosts
+gate (BASELINE north_star) will run when multi-chip hardware exists.
+
+Only ONE real chip is reachable in this environment (SURVEY provenance
+note; re-checked each round), so this script emits the protocol plus
+every measurable proxy, writing ``SCALING.json`` at the repo root:
+
+1. **Real chip — DP front-end batch curve**: frames/s of the vmapped
+   pop-up at batch 1..32 on the single chip.  DP over frames shards
+   this exact computation across chips ("frames/s at 1/8/16 chips",
+   BASELINE metric); the batch curve shows the per-chip utilization
+   headroom DP sharding would harvest (a chip saturated at batch 1
+   scales by count; one that speeds up 4x to batch 8 means 8 chips at
+   block size 8/chip deliver ~8 x that saturated rate).
+2. **Real chip — end-to-end frames/s** via the production sharded
+   runner on a 1-device mesh (the same code path that spans a pod).
+3. **Virtual 8-device CPU mesh — correctness proxy**: the sharded
+   runner's trajectory at n_dev = 1/2/4/8 must agree; wall-clock on a
+   2-vCPU host emulating 8 devices is *meaningless* and is labeled so.
+
+Protocol for real hardware (recorded in the artifact): run rows 1-2 on
+one chip of the slice, then the sharded runner with block = n_chips on
+the full mesh; scaling efficiency at n chips = fps(n) / (n * fps(1));
+the 2-host row initializes ``jax.distributed`` (parallel/multihost.py)
+and uses a ("host", "chip") mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# CPU-mesh child: sharded-runner trajectory agreement across mesh sizes
+# ---------------------------------------------------------------------------
+
+if os.environ.get("_POPUP_SCALING_CHILD") == "1":
+    sys.path.insert(0, _REPO)
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/popup_slam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import pop_up_slam_tpu  # noqa: F401
+    from pop_up_slam_tpu.geometry import se3
+    from pop_up_slam_tpu.geometry.camera import Intrinsics
+    from pop_up_slam_tpu.io import synthetic
+    from pop_up_slam_tpu.parallel import make_mesh
+    from pop_up_slam_tpu.pipeline import (
+        SlamConfig, run_sequence_sharded, slam_init,
+    )
+    from pop_up_slam_tpu.popup import popup as pp
+
+    H, W = 64, 96
+    K = Intrinsics.create(48.0, 48.0, 48.0, 32.0)
+    world = synthetic.corridor_world()
+    Rs, ts = synthetic.corridor_trajectory(17)
+    labels, _ = jax.vmap(
+        lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W)
+    )(Rs, ts)
+    masks = labels[1:] == synthetic.LABEL_GROUND
+    oR, ot = se3.se3_between(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
+    pcfg = pp.PopupConfig(min_cols=4, smooth_radius=2, nms_radius=3)
+    scfg = SlamConfig(window_size=4, max_landmarks=16,
+                      max_det=pcfg.max_segments + 1,
+                      kf_trans=0.0, kf_rot=0.0)
+
+    rows = []
+    t_ref = None
+    for n_dev in [1, 2, 4, 8]:
+        mesh = make_mesh(n_dev)
+        state = slam_init(scfg, Rs[0], ts[0])
+        t0 = time.perf_counter()
+        state, (R_e, t_e) = run_sequence_sharded(
+            state, masks, oR, ot, K, pcfg, scfg, mesh, block=8,
+            donate=False,
+        )
+        jax.block_until_ready(t_e)
+        wall = time.perf_counter() - t0
+        t_np = np.asarray(t_e)
+        if t_ref is None:
+            t_ref = t_np
+        rows.append({
+            "n_dev": n_dev,
+            "frames": int(t_np.shape[0]),
+            "wall_s_incl_compile": round(wall, 2),
+            "max_abs_diff_vs_1dev": float(np.abs(t_np - t_ref).max()),
+            "finite": bool(np.isfinite(t_np).all()),
+        })
+    print(json.dumps(rows))
+    sys.exit(0)
+
+
+def _cpu_mesh_rows():
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": "",
+        "_POPUP_SCALING_CHILD": "1",
+        "_POPUP_SLAM_TEST_REEXEC": "1",
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, timeout=3000,
+    )
+    if out.returncode != 0:
+        return {"error": out.stderr[-2000:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    sys.path.insert(0, _REPO)
+
+    import pop_up_slam_tpu  # noqa: F401
+    from pop_up_slam_tpu.geometry.camera import Intrinsics
+    from pop_up_slam_tpu.io import synthetic
+    from pop_up_slam_tpu.popup import popup as pp
+
+    backend = jax.default_backend()
+    result = {
+        "backend": backend,
+        "protocol": (
+            "real-hardware rows: fps(n_chips) via the sharded runner "
+            "(pipeline/sharded.py) with block=n_chips on the full mesh; "
+            "efficiency(n) = fps(n) / (n * fps(1)); 2-host row brings the "
+            "mesh up with parallel/multihost.py over ('host','chip'). "
+            "Gate: efficiency(2 hosts) >= 0.70 (BASELINE north_star)."
+        ),
+    }
+
+    # --- row 1: DP batch curve on the real chip ---
+    H, W = 480, 640
+    K = Intrinsics.create(320.0, 320.0, 320.0, 240.0)
+    z = np.load(os.path.join(_REPO, "bench_data", "corridor_inputs.npz"))
+    n, h, w = z["shape"]
+    masks = np.unpackbits(z["masks_packed"], axis=-1)[..., :w].astype(bool)
+    R0, t0_ = z["R0"], z["t0"]
+    pcfg = pp.PopupConfig()
+
+    batch_rows = []
+    for B in [1, 2, 4, 8, 16, 32]:
+        mb = jax.device_put(masks[:B])
+        run = jax.jit(jax.vmap(lambda m: pp.pop_up(K, m, R0, t0_, pcfg)))
+        r = run(mb)
+        jax.block_until_ready(r)
+        reps = max(2, 64 // B)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = run(mb)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        batch_rows.append({
+            "batch": B,
+            "popup_frames_per_s": round(reps * B / dt, 1),
+        })
+    result["popup_batch_curve_1chip"] = batch_rows
+    b1 = batch_rows[0]["popup_frames_per_s"]
+    b_max = max(r["popup_frames_per_s"] for r in batch_rows)
+    result["popup_batch_speedup_at_saturation"] = round(b_max / b1, 2)
+
+    # --- row 3: virtual-mesh correctness proxy (separate process) ---
+    result["cpu_mesh_proxy"] = {
+        "note": ("virtual 8-device CPU mesh on a 2-vCPU host: trajectory "
+                 "agreement only; wall-clock is NOT a perf signal"),
+        "rows": _cpu_mesh_rows(),
+    }
+
+    path = os.path.join(_REPO, "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({
+        "wrote": path,
+        "backend": backend,
+        "popup_batch_speedup_at_saturation":
+            result["popup_batch_speedup_at_saturation"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

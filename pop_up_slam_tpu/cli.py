@@ -47,7 +47,7 @@ def _run_popup_demo(cfg, args):
     return 0
 
 
-def _run_synthetic(cfg, args, distributed=False):
+def _run_synthetic(cfg, args):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -115,6 +115,85 @@ def _run_synthetic(cfg, args, distributed=False):
     return 0
 
 
+def _run_distributed(cfg, args):
+    """BASELINE configs 4-5: the production distributed runner
+    (pipeline/sharded.py) over a rendered synthetic corridor stream —
+    DP pop-up across the mesh + factor-sharded psum-assembled Schur BA
+    per keyframe, one jit per block.  Uses every local device (or
+    ``cfg.n_devices``); on a multi-host deployment the caller brings
+    the mesh up with parallel.multihost first and the same path runs
+    over the global mesh."""
+    import jax
+    import numpy as np
+
+    from .evaluation import ate_rmse
+    from .geometry import se3
+    from .geometry.camera import Intrinsics
+    from .io import synthetic
+    from .parallel import make_mesh
+    from .pipeline import run_sequence_sharded, slam_init
+    from .utils import MetricsLogger
+
+    scfg = cfg.slam
+    n_dev = cfg.n_devices or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    # Block = frames per dispatch; every device pops up block/n frames.
+    block = max(n_dev, (16 // n_dev) * n_dev)
+
+    H, W = cfg.height, cfg.width
+    K = Intrinsics.create(0.5 * W, 0.5 * W, 0.5 * W, 0.5 * H)
+    world = synthetic.corridor_world()
+    n = (cfg.n_frames // block) * block + 1
+    gt_R, gt_t = synthetic.corridor_trajectory(n)
+
+    render = jax.jit(
+        lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W)[0]
+    )
+    masks = np.zeros((n - 1, H, W), bool)
+    for i in range(n - 1):
+        masks[i] = np.asarray(render(gt_R[i + 1], gt_t[i + 1])) == \
+            synthetic.LABEL_GROUND
+    key = jax.random.PRNGKey(cfg.seed)
+    oR, ot = synthetic.noisy_odometry(
+        gt_R, gt_t, key, sigma_t=cfg.odom_sigma_t, sigma_r=cfg.odom_sigma_r
+    )
+
+    state = slam_init(scfg, gt_R[0], gt_t[0])
+    logger = MetricsLogger(cfg.metrics_path or None)
+    t_start = time.perf_counter()
+    state, (R_est, t_est) = run_sequence_sharded(
+        state, masks, oR, ot, K, cfg.popup, scfg, mesh, block=block,
+    )
+    jax.block_until_ready(t_est)
+    wall = time.perf_counter() - t_start
+
+    t_np = np.asarray(t_est)
+    ate, _, _ = ate_rmse(np.asarray(gt_t[1:len(t_np) + 1]), t_np)
+    summary = {
+        "config": cfg.name,
+        "mode": "distributed",
+        "n_devices": n_dev,
+        "block": block,
+        "frames": int(t_np.shape[0]),
+        "ate_rmse_m": round(float(ate), 4),
+        "n_keyframes": int(state.n_kf),
+        "n_landmarks": int(np.asarray(state.window.lm_valid).sum()),
+        "frames_per_s": round(t_np.shape[0] / wall, 2),
+        "finite": bool(np.isfinite(t_np).all()),
+    }
+    print(json.dumps(summary, indent=2))
+    if cfg.out_trajectory:
+        from .io import tum
+
+        tum.write_trajectory(
+            cfg.out_trajectory,
+            [i / 30.0 for i in range(t_np.shape[0])],
+            np.asarray(R_est), t_np,
+        )
+    logger.close()
+    return 0 if summary["finite"] else 1
+
+
 def _run_tum(cfg, args):
     import os
 
@@ -141,6 +220,10 @@ def main(argv=None):
                       help="preset: popup_demo|corridor|tum_fr3|"
                            "single_host|multi_host")
     runp.add_argument("--frames", type=int, default=0)
+    runp.add_argument("--height", type=int, default=0)
+    runp.add_argument("--width", type=int, default=0)
+    runp.add_argument("--devices", type=int, default=0,
+                      help="mesh size for distributed mode (0 = all)")
     runp.add_argument("--sequence-dir", default="")
     runp.add_argument("--out-trajectory", default="")
     runp.add_argument("--metrics", default="")
@@ -158,6 +241,12 @@ def main(argv=None):
     overrides = {}
     if args.frames:
         overrides["n_frames"] = args.frames
+    if args.height:
+        overrides["height"] = args.height
+    if args.width:
+        overrides["width"] = args.width
+    if args.devices:
+        overrides["n_devices"] = args.devices
     if args.sequence_dir:
         overrides["sequence_dir"] = args.sequence_dir
     if args.out_trajectory:
@@ -184,7 +273,7 @@ def main(argv=None):
         if cfg.mode == "synthetic":
             return _run_synthetic(cfg, args)
         if cfg.mode == "distributed":
-            return _run_synthetic(cfg, args, distributed=True)
+            return _run_distributed(cfg, args)
         if cfg.mode == "tum":
             return _run_tum(cfg, args)
         raise SystemExit(f"unknown mode {cfg.mode}")

@@ -206,15 +206,18 @@ def se3_V_inv(phi: jnp.ndarray) -> jnp.ndarray:
     KK = _hat_sq(phi)
     # coefficient for KK: (1/theta^2) * (1 - (theta/2) * cot(theta/2)).
     # The exact form is a catastrophic f32 cancellation below ~0.1 rad
-    # (see the _SMALL note above) — Taylor there, exact beyond (where
-    # sin(theta/2) >= sin(0.05) needs no clamp).
+    # (see the _SMALL note above) — Taylor there, exact beyond.  The
+    # sin clamp only matters as |phi| -> 2*pi (sin(theta/2) -> 0+ and
+    # cot diverges); so3_log/se3_log never produce theta > pi, but the
+    # function is importable with arbitrary phi, so keep it finite.
     t2 = theta * theta
     safe = jnp.where(theta < _SMALL, 1.0, theta)
     half_s = 0.5 * safe
     cot_term = jnp.where(
         theta < _SMALL,
         1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
-        (1.0 - half_s * jnp.cos(half_s) / jnp.sin(half_s)) / (safe * safe),
+        (1.0 - half_s * jnp.cos(half_s) / jnp.maximum(jnp.sin(half_s), _EPS))
+        / (safe * safe),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye - 0.5 * K + cot_term[..., None, None] * KK

@@ -49,13 +49,20 @@ def write_tum_fixture(
     write_depth: bool = True,
     fps: float = 30.0,
     gt_stamp_jitter: float = 0.004,
+    scene: str = "corridor",
 ):
-    """Render and write a TUM-format corridor sequence.
+    """Render and write a TUM-format synthetic sequence.
 
     Returns a dict with the camera intrinsics and ground-truth poses
     (``R_wc`` (N,3,3), ``t_wc`` (N,3), ``stamps`` (N,)) for assertions.
     ``gt_stamp_jitter`` offsets groundtruth stamps from frame stamps so
     the nearest-stamp association path is actually exercised.
+
+    ``scene``: ``"corridor"`` — the straight swaying corridor walk;
+    ``"room_orbit"`` — a slow 1.5-pi turn inside the partitioned room
+    (loopy trajectory: walls leave and re-enter view, the sliding
+    window overflows many times over a long sequence — the monocular
+    drift gate of tests/test_monocular_gate.py).
     """
     import jax
 
@@ -65,8 +72,14 @@ def write_tum_fixture(
 
     cx, cy = width / 2.0, height / 2.0
     K = Intrinsics.create(fx, fy, cx, cy)
-    world = synthetic.corridor_world()
-    Rs, ts = synthetic.corridor_trajectory(n_frames, sway=0.3)
+    if scene == "corridor":
+        world = synthetic.corridor_world()
+        Rs, ts = synthetic.corridor_trajectory(n_frames, sway=0.3)
+    elif scene == "room_orbit":
+        world = synthetic.room_world()
+        Rs, ts = synthetic.orbit_trajectory(n_frames)
+    else:
+        raise ValueError(f"unknown scene {scene!r}")
     labels, depth = jax.jit(
         jax.vmap(
             lambda R, t: synthetic.render_frame(K, R, t, world, height, width)

@@ -186,7 +186,9 @@ def plane_vo_step(
         keep = n_new < cfg.min_matches
         R_est = jnp.where(keep, R_est, R_new)
         t_est = jnp.where(keep, t_est, t_new)
-        n = jnp.maximum(n, n_new)
+        # n tracks the match count of the *kept* estimate, so the
+        # reported n_matches always describes the returned solution.
+        n = jnp.where(keep, n, n_new)
     use_prior = n < cfg.min_matches
     R = jnp.where(use_prior, prior_R, R_est)
     t = jnp.where(use_prior, prior_t, t_est)

@@ -29,13 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..factors.graph import Linearization, Window
 from ..solver.schur import SchurSolution, inv3x3
-from .cholesky_pallas import chol_solve_inplace, chol_solve_pallas
+from .cholesky_pallas import chol_solve_body, chol_solve_pallas
 
 _TILE = 128
 
 
 def _schur_small_kernel(Hpp_ref, B_ref, G_ref, rhs_ref, pm_ref, lam_ref,
-                        S_ref, x_ref, A_scr, U_scr, y_scr, *, n_real: int):
+                        S_ref, x_ref, *, n_real: int):
     """Single-tile fused Schur + masked damping + Cholesky solve.
 
     For the production window (6W <= 128, 3L <= a few hundred) the whole
@@ -66,9 +66,7 @@ def _schur_small_kernel(Hpp_ref, B_ref, G_ref, rhs_ref, pm_ref, lam_ref,
     S = S + (1.0 - pm) * diag
     S_ref[:] = S
 
-    A_scr[:] = S
-    y_scr[:] = rhs_ref[:] * pm
-    chol_solve_inplace(A_scr, U_scr, y_scr, x_ref, n_real)
+    x_ref[:] = chol_solve_body(S, rhs_ref[:] * pm, n_real)
 
 
 def _schur_gemm_kernel(Hpp_ref, B_ref, G_ref, S_ref):
@@ -187,11 +185,6 @@ def schur_reduce_pallas(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((_TILE, _TILE), jnp.float32),
-                pltpu.VMEM((_TILE, _TILE), jnp.float32),
-                pltpu.VMEM((1, _TILE), jnp.float32),
-            ],
             interpret=interpret,
         )(Hpp_p, B_p, G_p, rhs_p, pm_p, lam_in)
         S = S_p[:R, :R]

@@ -34,8 +34,16 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..factors.graph import Factors, Linearization, Window, linearize
-from ..solver.gauss_newton import SolveStats, apply_update
+from ..factors.graph import (
+    Factors,
+    Linearization,
+    OdomFactors,
+    PlaneFactors,
+    PosePriors,
+    Window,
+    linearize,
+)
+from ..solver.gauss_newton import SolveStats, apply_update, sanitize_step
 from ..solver.schur import solve_schur
 
 
@@ -49,31 +57,50 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def _pad_axis(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    cap = x.shape[0]
+def _pad_batch(batch, empty_fn, n: int):
+    cap = jax.tree.leaves(batch)[0].shape[0]
     pad = (-cap) % n
     if pad == 0:
-        return x
-    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return batch
+    filler = empty_fn(pad)
+    return jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b.astype(a.dtype)]), batch, filler
+    )
 
 
 def pad_factors_for_sharding(factors: Factors, n_shards: int) -> Factors:
     """Pad every factor batch to a multiple of the mesh size.
 
-    Padding entries have ``valid=False`` so they contribute exactly
-    zero to the assembled system (linearize masks them out).
+    Padding entries come from each factor type's ``empty()`` —
+    ``valid=False`` with *identity-valued* measurements (unit rotation,
+    unit plane, identity sqrt-info).  Zero-filled padding is NOT safe:
+    the masked linearize evaluates residual/Jacobian code on every
+    entry and multiplies by the 0/1 validity weight afterwards, and
+    jacfwd through ``so3_log``/plane normalization at an all-zero
+    "rotation" or plane produces NaN — and ``0 * NaN`` is still NaN
+    (this NaN'd the sharded runner on wall-free frames; the identity
+    filler matches the invalid-slot convention used everywhere else).
     """
-    return jax.tree.map(lambda x: _pad_axis(x, n_shards), factors)
+    return Factors(
+        odom=_pad_batch(factors.odom, OdomFactors.empty, n_shards),
+        planes=_pad_batch(factors.planes, PlaneFactors.empty, n_shards),
+        priors=_pad_batch(factors.priors, PosePriors.empty, n_shards),
+    )
 
 
 def sharded_linearize(
-    window: Window, factors: Factors, mesh: Mesh, axis: str = "d"
+    window: Window, factors: Factors, mesh: Mesh, axis: str = "d",
+    analytic_planes: bool = False, robust=None,
 ) -> Linearization:
     """Each shard linearizes its slice of the factors; psum assembles.
 
     ``factors`` must already be padded to the mesh size
     (:func:`pad_factors_for_sharding`).  The window (poses+landmarks)
     is replicated; the returned Linearization is replicated.
+    ``analytic_planes`` / ``robust`` thread through to
+    :func:`factors.graph.linearize` exactly as in the single-device
+    solver (IRLS weights are per-factor, so factor sharding commutes
+    with them).
     """
 
     @partial(
@@ -83,7 +110,8 @@ def sharded_linearize(
         out_specs=P(),
     )
     def local(window_rep, factors_shard):
-        lin = linearize(window_rep, factors_shard)
+        lin = linearize(window_rep, factors_shard,
+                        analytic_planes=analytic_planes, robust=robust)
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), lin)
 
     return local(window, factors)
@@ -96,6 +124,8 @@ def distributed_gn_solve(
     iters: int = 5,
     damping: float = 1e-6,
     axis: str = "d",
+    analytic_planes: bool = False,
+    robust=None,
 ):
     """Gauss-Newton with factor-sharded Schur assembly.
 
@@ -105,10 +135,13 @@ def distributed_gn_solve(
     factors = pad_factors_for_sharding(factors, mesh.devices.size)
 
     def step(w, _):
-        lin = sharded_linearize(w, factors, mesh, axis)
+        lin = sharded_linearize(w, factors, mesh, axis,
+                                analytic_planes=analytic_planes,
+                                robust=robust)
         sol = solve_schur(lin, w, damping)
-        w2 = apply_update(w, sol.dxp, sol.dxl)
-        sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
+        dxp, dxl, _ = sanitize_step(sol.dxp, sol.dxl)
+        w2 = apply_update(w, dxp, dxl)
+        sn = jnp.sqrt(jnp.sum(dxp ** 2) + jnp.sum(dxl ** 2))
         return w2, (lin.cost, sn)
 
     window, (costs, step_norms) = jax.lax.scan(step, window, None, length=iters)

@@ -17,6 +17,11 @@ The assembled blocked system is psum'd to all devices (it is small:
 the window), so the result is bit-identical in structure to
 ``factors.graph.linearize`` and matches it to fp tolerance
 (tests/test_parallel_ext.py).
+
+Cost note: the factor-routing helpers here run a *host-side numpy pass
+per call* (fine for the one-shot dryrun/self-check/tests); a production
+per-keyframe loop should keep factors owner-aligned on device instead
+of re-routing each solve — see pipeline/sharded.py.
 """
 
 from __future__ import annotations
@@ -41,7 +46,7 @@ from ..factors.graph import (
     _plane_terms,
     _prior_terms,
 )
-from ..solver.gauss_newton import SolveStats, apply_update
+from ..solver.gauss_newton import SolveStats, apply_update, sanitize_step
 from ..solver.schur import solve_schur
 
 
@@ -249,8 +254,9 @@ def keyframe_sharded_gn_solve(
     def step(w, _):
         lin = keyframe_sharded_linearize(w, routed, mesh, axis)
         sol = solve_schur(lin, w, damping)
-        w2 = apply_update(w, sol.dxp, sol.dxl)
-        sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
+        dxp, dxl, _ = sanitize_step(sol.dxp, sol.dxl)
+        w2 = apply_update(w, dxp, dxl)
+        sn = jnp.sqrt(jnp.sum(dxp ** 2) + jnp.sum(dxl ** 2))
         return w2, (lin.cost, sn)
 
     window, (costs, step_norms) = jax.lax.scan(

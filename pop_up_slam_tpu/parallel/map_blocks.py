@@ -25,6 +25,12 @@ The whole Gauss-Newton loop runs inside ONE ``shard_map`` region, so
 XLA schedules the psum per iteration over ICI with no host round-trips.
 Matches the single-device ``gn_solve`` to fp tolerance for any mesh
 shape (tests/test_parallel_ext.py).
+
+Cost note: ``partition_plane_factors`` routes factors to owner shards
+with a *host-side numpy pass per call*.  That is fine for the one-shot
+dryrun/self-check/eval uses here; a production per-keyframe loop should
+route on-device (the sharded runner in pipeline/sharded.py keeps its
+window layout owner-aligned instead, so it never re-routes per solve).
 """
 
 from __future__ import annotations
@@ -223,6 +229,17 @@ def map_block_gn_solve(
             rhs = bl + jnp.einsum("wlab,wa->lb", Hpl, dxp)
             dxl = -jnp.einsum("lab,lb->la", Hll_inv, rhs)
             dxl = dxl * w.lm_valid[:, None].astype(dtype)
+
+            # Step guard (solver.gauss_newton.sanitize_step semantics):
+            # the squared norm must be psum'd so every shard takes the
+            # same accept/reject decision — dxp is replicated, dxl is
+            # sharded, and a per-shard verdict would fork the state.
+            sq = jnp.sum(dxp * dxp) + jax.lax.psum(
+                jnp.sum(dxl * dxl), axis
+            )
+            ok = jnp.isfinite(sq) & (sq < 1e6)
+            dxp = jnp.where(ok, dxp, 0.0)
+            dxl = jnp.where(ok, dxl, 0.0)
 
             R_new, t_new = se3.se3_retract(w.R, w.t, dxp)
             fr = free[:, None]

@@ -27,6 +27,11 @@ from .batched import (
     make_batched_runner,
     run_sequence_batched,
 )
+from .sharded import (
+    make_distributed_solve,
+    make_sharded_runner,
+    run_sequence_sharded,
+)
 
 __all__ = [
     "FrameDetections",
@@ -53,4 +58,7 @@ __all__ = [
     "dead_reckon",
     "make_batched_runner",
     "run_sequence_batched",
+    "make_distributed_solve",
+    "make_sharded_runner",
+    "run_sequence_sharded",
 ]

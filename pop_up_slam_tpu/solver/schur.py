@@ -122,24 +122,39 @@ def make_solve_fn(pallas: str = "auto"):
     """Select the reduced-system solver implementation.
 
     ``pallas``:
-      - ``"auto"``: the Pallas Schur-GEMM + fused-Cholesky kernels on
-        TPU backends, the pure-jnp path elsewhere (CPU interpret-mode
-        Pallas is correct but slow — tests exercise it explicitly).
+      - ``"auto"``: on TPU backends, dispatch per problem size — the
+        fused Pallas Schur+Cholesky kernel where it measures faster
+        (interleaved A/B on a v5e chip: 1.05x at W=12/L=128 and larger,
+        ~parity +-4% at W=8/L=64 where jnp's in-program path avoids the
+        kernel-launch overhead), jnp below the crossover.  Pure jnp on
+        non-TPU backends (CPU interpret-mode Pallas is correct but
+        slow — tests exercise it explicitly).
       - ``"on"`` / ``"off"``: force one path.
 
-    Both paths are drop-in ``solve_fn``s for the GN/LM/dog-leg drivers
-    and match to fp tolerance (tests/test_ops.py).
+    All paths are drop-in ``solve_fn``s for the GN/LM/dog-leg drivers
+    and match to fp tolerance (tests/test_ops.py).  The (W, L) check
+    happens at trace time (static shapes), so the dispatch costs
+    nothing at runtime.
     """
     if pallas not in ("auto", "on", "off"):
         raise ValueError(f"pallas must be auto|on|off, got {pallas!r}")
-    use = pallas == "on" or (
-        pallas == "auto" and jax.default_backend() == "tpu"
-    )
-    if not use:
+    if pallas == "off" or (pallas == "auto"
+                           and jax.default_backend() != "tpu"):
         return solve_schur
     from ..ops.schur_pallas import schur_reduce_pallas
 
-    return schur_reduce_pallas
+    if pallas == "on":
+        return schur_reduce_pallas
+
+    # Empirical crossover: Schur GEMM work 6W * 3L (v5e measurements
+    # above).  Below it the launch overhead eats the fusion win.
+    def auto_fn(lin, window, damping=1e-6):
+        W, L = lin.bp.shape[0], lin.bl.shape[0]
+        if 6 * W * 3 * L >= 16384:
+            return schur_reduce_pallas(lin, window, damping)
+        return solve_schur(lin, window, damping)
+
+    return auto_fn
 
 
 def solve_dense(lin: Linearization, window: Window, damping=1e-6):

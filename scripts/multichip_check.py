@@ -40,7 +40,6 @@ if os.environ.get("_POPUP_SLAM_MCC_REEXEC") != "1":
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -62,7 +61,7 @@ def main():
         sharded_popup,
     )
     from pop_up_slam_tpu.popup import popup as pp
-    from test_solver import build_corridor_problem
+    from pop_up_slam_tpu.io.problems import build_corridor_problem
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)

@@ -20,7 +20,6 @@ os.environ["XLA_FLAGS"] = (
 os.environ.pop("PYTHONPATH", None)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def main():
@@ -46,7 +45,7 @@ def main():
     import numpy as np
 
     os.environ.setdefault("_POPUP_SLAM_TEST_REEXEC", "1")
-    from test_solver import build_corridor_problem
+    from pop_up_slam_tpu.io.problems import build_corridor_problem
 
     from pop_up_slam_tpu.parallel import distributed_gn_solve
 

@@ -18,6 +18,11 @@ from pop_up_slam_tpu.solver import gn_solve
 
 from test_solver import build_corridor_problem
 
+# These are the suite's heaviest compiles (whole-GN-loop shard_map
+# programs on the 8-device CPU mesh, ~10 min each cold on this box);
+# the fast dev tier is `-m "not slow"` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def problem():

