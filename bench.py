@@ -276,6 +276,12 @@ def main():
         if on_tpu else "jnp",
         schur_gflops_per_s=round(ba_auto * flops / 1e9, 2),
         schur_flops_per_iter=flops,
+        # Fraction of v5e bf16 MXU peak (197 TFLOP/s).  Honest and
+        # tiny by construction: a 48x192 Schur system cannot fill a
+        # 128x128 systolic array — the metric that matters at this
+        # size is iteration *latency* (see BASELINE.md), and this
+        # number documents exactly how far from compute-bound it is.
+        schur_frac_of_peak_bf16=round(ba_auto * flops / 1e9 / 197000.0, 8),
     )
     _log(f"stage C: BA auto {ba_auto:.0f} iters/s")
     if on_tpu:

@@ -76,8 +76,20 @@ def write_tum_fixture(
         world = synthetic.corridor_world()
         Rs, ts = synthetic.corridor_trajectory(n_frames, sway=0.3)
     elif scene == "room_orbit":
-        world = synthetic.room_world()
-        Rs, ts = synthetic.orbit_trajectory(n_frames)
+        # Plain square room (no interior partition — it would occlude
+        # half the orbit at point-blank range) sized so the wall-ground
+        # junction stays inside the image: wall distance 3.2-4.8 m from
+        # a 0.8 m-radius orbit at 1.0 m camera height projects the
+        # junction to v ~ cy + fy*1.0/3.2, well above the bottom edge.
+        s = 4.0
+        world = synthetic.make_world(
+            [((-s, -s), (s, -s)), ((s, -s), (s, s)),
+             ((s, s), (-s, s)), ((-s, s), (-s, -s))],
+            heights=2.5,
+        )
+        Rs, ts = synthetic.orbit_trajectory(
+            n_frames, radius=0.8, cam_height=1.0
+        )
     else:
         raise ValueError(f"unknown scene {scene!r}")
     labels, depth = jax.jit(

@@ -154,6 +154,8 @@ def plane_vo_step(
     prior_R: jnp.ndarray,
     prior_t: jnp.ndarray,
     cfg: PlaneVOConfig = PlaneVOConfig(),
+    support_prev: jnp.ndarray | None = None,
+    support_cur: jnp.ndarray | None = None,
 ) -> PlaneVOResult:
     """One VO step: match previous-frame planes against current-frame
     planes (both in their own camera frames) and align, iterated
@@ -164,7 +166,18 @@ def plane_vo_step(
     through the current estimate and tighten to ``cfg.refine_dist``.
     Damping always pulls toward the *original* prior so the unobservable
     subspace stays anchored.  Falls back to the prior when fewer than
-    ``cfg.min_matches`` pairs survive the gates."""
+    ``cfg.min_matches`` pairs survive the gates.
+
+    ``support_prev``/``support_cur`` (optional, (D,) >= 0) weight each
+    match by ``min`` of the two planes' observation support (boundary
+    column counts), normalized to mean 1 over the matched set.  A
+    glancing sliver of a wall about to leave the view has a noisy
+    fitted distance; unweighted, one such sliver can inject its full d
+    error into the translation along its normal — which, if that axis
+    then becomes unobservable, the constant-velocity prior perpetuates
+    into unbounded linear drift (seen on the room-orbit fixture).
+    Support weighting crushes the sliver's vote by orders of magnitude
+    while leaving well-observed geometry untouched."""
     R_est, t_est = prior_R, prior_t
     n = jnp.asarray(0, jnp.int32)
     for k in range(max(cfg.iters, 1)):
@@ -177,6 +190,12 @@ def plane_vo_step(
         idx = jnp.clip(match, 0, planes_cur.shape[0] - 1)
         pb = planes_cur[idx]
         w = matched.astype(planes_prev.dtype)
+        if support_prev is not None and support_cur is not None:
+            sup = jnp.minimum(support_prev, support_cur[idx])
+            w = w * sup
+            w = w / jnp.maximum(
+                jnp.sum(w) / jnp.maximum(jnp.sum(matched), 1), 1e-9
+            )
         R_new, t_new = align_planes(
             planes_prev, pb, w, prior_R, prior_t, cfg.lam_rot,
             cfg.lam_trans,

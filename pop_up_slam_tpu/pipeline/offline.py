@@ -59,6 +59,7 @@ class VOState(NamedTuple):
     slam: SlamState
     prev_planes: jnp.ndarray     # (D, 4) previous frame's camera planes
     prev_valid: jnp.ndarray      # (D,) bool
+    prev_support: jnp.ndarray    # (D,) f32 boundary-column support
     prior_R: jnp.ndarray         # (3, 3) constant-velocity motion prior
     prior_t: jnp.ndarray         # (3,)
 
@@ -70,6 +71,7 @@ def vo_init(slam_state: SlamState, max_det: int) -> VOState:
             jnp.array([0.0, 0.0, 1.0, 0.0]), (max_det, 4)
         ),
         prev_valid=jnp.zeros((max_det,), bool),
+        prev_support=jnp.zeros((max_det,)),
         prior_R=jnp.eye(3),
         prior_t=jnp.zeros((3,)),
     )
@@ -95,14 +97,25 @@ def _vo_frame_core(vs: VOState, mask, K, pcfg, scfg, vcfg):
     valid = jnp.concatenate(
         [res.valid, jnp.ones((1,), bool), jnp.zeros((pad,), bool)]
     )
+    # Observation support per detection: boundary columns per wall; the
+    # ground gets the total valid-boundary column count (it is fit from
+    # the whole mask and is always the best-observed plane).
+    ground_sup = jnp.sum(res.boundary_ok).astype(jnp.float32)[None]
+    support = jnp.concatenate(
+        [res.n_points.astype(jnp.float32), ground_sup,
+         jnp.zeros((pad,), jnp.float32)]
+    ) if pad else jnp.concatenate(
+        [res.n_points.astype(jnp.float32), ground_sup]
+    )
 
     vo = plane_vo_step(
         vs.prev_planes, vs.prev_valid, planes, valid,
         vs.prior_R, vs.prior_t, vcfg,
+        support_prev=vs.prev_support, support_cur=support,
     )
     det = detections_from_popup(res, pred_R, pred_t, scfg.max_det)
     slam, (R, t) = slam_step(vs.slam, det, vo.R, vo.t, scfg)
-    vs_next = VOState(slam, planes, valid, vo.R, vo.t)
+    vs_next = VOState(slam, planes, valid, support, vo.R, vo.t)
     return vs_next, (R, t), (res, pred_R, pred_t, vo)
 
 

@@ -233,6 +233,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         "frames": n,
         "odometry": odometry,
         "ate_rmse_m": round(float(ate), 4),
+        "n_keyframes": int(state.n_kf),
         "frames_per_s": round((n - start_k) / max(wall, 1e-9), 2),
         "pose_trans_std_m": round(trans_std, 5),
         "pose_rot_std_rad": round(rot_std, 5),

@@ -25,13 +25,14 @@ from pop_up_slam_tpu.popup.popup import PopupConfig
 from pop_up_slam_tpu.runners.tum_runner import run_tum_sequence
 
 N_FRAMES = 200
-ATE_BOUND_M = 0.25  # hard gate; calibrated baseline ~0.1 m (see test)
+ATE_BOUND_M = 0.25  # hard gate; calibrated baseline 0.072 m (see test)
 
 
 @pytest.fixture(scope="module")
 def orbit_fixture(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("tum_orbit"))
-    meta = write_tum_fixture(root, n_frames=N_FRAMES, scene="room_orbit")
+    meta = write_tum_fixture(root, n_frames=N_FRAMES, scene="room_orbit",
+                             height=240, width=320, fx=240.0, fy=240.0)
     return root, meta
 
 
@@ -48,7 +49,7 @@ def test_monocular_long_sequence_ate_gate(orbit_fixture, tmp_path):
     )
     cfg = cfg._replace(
         slam=slam,
-        popup=PopupConfig(min_cols=6, smooth_radius=2, nms_radius=4),
+        popup=PopupConfig(min_cols=10, smooth_radius=4, nms_radius=6),
         out_trajectory=str(tmp_path / "traj.txt"),
     )
     summary = run_tum_sequence(cfg, odometry="plane_vo")
@@ -58,6 +59,6 @@ def test_monocular_long_sequence_ate_gate(orbit_fixture, tmp_path):
     assert summary["n_keyframes"] > 4 * slam.window_size, summary
     assert ate < ATE_BOUND_M, (
         f"monocular ATE regressed: {ate:.3f} m >= {ATE_BOUND_M} m "
-        f"(calibrated baseline ~0.1 m on the 200-frame room orbit); "
+        f"(calibrated baseline 0.072 m on the 200-frame room orbit); "
         f"summary={summary}"
     )
