@@ -231,6 +231,39 @@ def _odom_terms(window: Window, f: OdomFactors):
     return jax.vmap(one)(f.i, f.j, f.R_meas, f.t_meas, f.sqrt_info, f.valid)
 
 
+def _odom_terms_analytic(window: Window, f: OdomFactors):
+    """Closed-form twin of :func:`_odom_terms` (no jacfwd).
+
+    With E = M^-1 T_i^-1 T_j and r0 = log(E), right-multiplicative
+    perturbations give exactly
+
+        d r / d xi_j =  A Jr^-1(r0)
+        d r / d xi_i = -A Jr^-1(r0) Ad(T_j^-1 T_i)
+
+    (E(xi_i) = E exp(-Ad_{T_j^-1 T_i} xi_i) by pushing exp(-xi_i)
+    through T_i^-1 T_j).  Matches the jacfwd version to f32 precision
+    (tests/test_geometry.py) at a fraction of the op count — and is
+    the form a fused Pallas linearizer can evaluate (no jacfwd inside
+    kernels)."""
+    Ri, ti = window.R[f.i], window.t[f.i]
+    Rj, tj = window.R[f.j], window.t[f.j]
+    R_rel, t_rel = se3.se3_between(Ri, ti, Rj, tj)
+    R_err, t_err = se3.se3_between(f.R_meas, f.t_meas, R_rel, t_rel)
+    r0 = se3.se3_log(R_err, t_err)
+    Jr_inv = se3.se3_right_jacobian_inv(r0)
+    AJ = f.sqrt_info @ Jr_inv
+    Jj = AJ
+    R_ji, t_ji = se3.se3_between(Rj, tj, Ri, ti)
+    Ji = -(AJ @ se3.se3_adjoint(R_ji, t_ji))
+    r = (f.sqrt_info @ r0[..., None])[..., 0]
+    v = f.valid
+    return (
+        jnp.where(v[:, None], r, 0.0),
+        jnp.where(v[:, None, None], Ji, 0.0),
+        jnp.where(v[:, None, None], Jj, 0.0),
+    )
+
+
 def _plane_terms(window: Window, f: PlaneFactors):
     """Residuals + Jacobians for all plane factors. Returns
     (r (F,3), Jp (F,3,6), Jl (F,3,3)) masked to zero where invalid."""
@@ -270,11 +303,24 @@ def _prior_terms(window: Window, f: PosePriors):
     return jax.vmap(one)(f.idx, f.R, f.t, f.sqrt_info, f.valid)
 
 
+def _prior_terms_analytic(window: Window, f: PosePriors):
+    """Closed-form twin of :func:`_prior_terms`:
+    r = A log(P^-1 T exp(xi)) so dr/dxi = A Jr^-1(r0)."""
+    R, t = window.R[f.idx], window.t[f.idx]
+    R_err, t_err = se3.se3_between(f.R, f.t, R, t)
+    r0 = se3.se3_log(R_err, t_err)
+    J = f.sqrt_info @ se3.se3_right_jacobian_inv(r0)
+    r = (f.sqrt_info @ r0[..., None])[..., 0]
+    v = f.valid
+    return jnp.where(v[:, None], r, 0.0), jnp.where(v[:, None, None], J, 0.0)
+
+
 def linearize(
     window: Window,
     factors: Factors,
     analytic_planes: bool = False,
     robust: RobustConfig | None = None,
+    analytic_poses: bool = True,
 ) -> Linearization:
     """Build the blocked Gauss-Newton normal equations for the window.
 
@@ -290,6 +336,11 @@ def linearize(
     (:mod:`pop_up_slam_tpu.factors.robust`); ``None`` is plain least
     squares.  The reported ``cost`` is the robustified objective
     0.5 * sum rho(||r||^2), consistent with :func:`total_cost`.
+
+    ``analytic_poses=True`` (default) uses the closed-form SE(3)
+    between/prior Jacobians (inverse right Jacobian + adjoint,
+    geometry/se3.py) instead of per-factor jacfwd; identical to f32
+    precision (tests/test_geometry.py) and cheaper on TPU.
     """
     if robust is None:
         robust = RobustConfig()
@@ -305,7 +356,8 @@ def linearize(
     cost = jnp.zeros((), dtype)
 
     # --- odometry ---
-    r_o, Ji, Jj = _odom_terms(window, factors.odom)
+    odom_terms = _odom_terms_analytic if analytic_poses else _odom_terms
+    r_o, Ji, Jj = odom_terms(window, factors.odom)
     r_o, Ji, Jj, rho_o = apply_weights(robust.odom, r_o, Ji, Jj)
     hii = jnp.einsum("fab,fac->fbc", Ji, Ji)
     hij = jnp.einsum("fab,fac->fbc", Ji, Jj)
@@ -343,7 +395,8 @@ def linearize(
     cost = cost + 0.5 * jnp.sum(rho_f)
 
     # --- priors ---
-    r_p, Jq = _prior_terms(window, factors.priors)
+    prior_terms = _prior_terms_analytic if analytic_poses else _prior_terms
+    r_p, Jq = prior_terms(window, factors.priors)
     r_p, Jq, rho_p = apply_weights(robust.prior, r_p, Jq)
     hqq = jnp.einsum("fab,fac->fbc", Jq, Jq)
     gq = jnp.einsum("fab,fa->fb", Jq, r_p)

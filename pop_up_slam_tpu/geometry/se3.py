@@ -238,6 +238,86 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rho, phi], axis=-1)
 
 
+def _c2_coeff(theta: jnp.ndarray) -> jnp.ndarray:
+    """(theta^2 + 2 cos theta - 2) / (2 theta^4), Taylor below _SMALL."""
+    t2 = theta * theta
+    safe = jnp.where(theta < _SMALL, 1.0, theta)
+    return jnp.where(
+        theta < _SMALL,
+        1.0 / 24.0 - t2 / 720.0 + t2 * t2 / 40320.0,
+        (safe * safe + 2.0 * jnp.cos(safe) - 2.0) / (2.0 * safe ** 4),
+    )
+
+
+def _c3_coeff(theta: jnp.ndarray) -> jnp.ndarray:
+    """(2 theta - 3 sin theta + theta cos theta) / (2 theta^5), Taylor
+    below _SMALL."""
+    t2 = theta * theta
+    safe = jnp.where(theta < _SMALL, 1.0, theta)
+    return jnp.where(
+        theta < _SMALL,
+        1.0 / 120.0 - t2 / 2520.0 + t2 * t2 / 120960.0,
+        (2.0 * safe - 3.0 * jnp.sin(safe) + safe * jnp.cos(safe))
+        / (2.0 * safe ** 5),
+    )
+
+
+def se3_Q(rho: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Barfoot's Q(xi) — the translation-rotation coupling block of the
+    SE(3) left Jacobian (State Estimation for Robotics, eq. 7.86;
+    translation-first xi = (rho, phi) as everywhere in this module).
+    All coefficients carry the same f32 small-angle Taylor switches as
+    the rest of the file (see the _SMALL analysis above)."""
+    theta = _safe_norm(phi)
+    rx = hat(rho)
+    px = hat(phi)
+    c1 = _sincc(theta)[..., None, None]
+    c2 = _c2_coeff(theta)[..., None, None]
+    c3 = _c3_coeff(theta)[..., None, None]
+    pr = px @ rx
+    rp = rx @ px
+    prp = pr @ px
+    return (
+        0.5 * rx
+        + c1 * (pr + rp + prp)
+        + c2 * (px @ pr + rp @ px - 3.0 * prp)
+        + c3 * (prp @ px + px @ pr @ px)
+    )
+
+
+def se3_left_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(3) left Jacobian, (..., 6, 6) closed form:
+    [[V^-1, -V^-1 Q V^-1], [0, V^-1]]."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    Vi = se3_V_inv(phi)
+    Q = se3_Q(rho, phi)
+    top_right = -Vi @ Q @ Vi
+    z = jnp.zeros_like(Vi)
+    top = jnp.concatenate([Vi, top_right], axis=-1)
+    bot = jnp.concatenate([z, Vi], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_right_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(3) right Jacobian: J_r^-1(xi) = J_l^-1(-xi).
+
+    This is the exact derivative d log(E exp(eps)) / d eps at eps = 0
+    with E = exp(xi) — the matrix every between/prior factor Jacobian
+    is built from (factors/graph.py analytic pose terms)."""
+    return se3_left_jacobian_inv(-xi)
+
+
+def se3_adjoint(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of (R, t): T exp(xi) T^-1 = exp(Ad_T xi), (..., 6, 6)
+    with the translation-first (rho, phi) ordering:
+    [[R, t^ R], [0, R]]."""
+    tR = hat(t) @ R
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def se3_compose(Ra, ta, Rb, tb):
     """(Ra,ta) o (Rb,tb): first apply b, then a."""
     return Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta

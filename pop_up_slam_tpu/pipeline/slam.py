@@ -297,26 +297,28 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     # that would allocate and scatter the full (W, W, 6, 6) + plane
     # machinery to touch exactly three 6x6 blocks, and measurably drags
     # the per-keyframe step (~18% of frame time on a v5e chip).
-    from ..factors.graph import odom_residual, prior_residual
-
+    # Jacobians are the closed SE(3) forms (geometry/se3.py inverse
+    # right Jacobian + adjoint; see factors/graph._odom_terms_analytic)
+    # — the unbatched jacfwd chains used before cost ~100 us/frame of
+    # pure tiny-op sequencing on a v5e.
     R0, t0 = window.R[0], window.t[0]
     R1, t1 = window.R[1], window.t[1]
     A_o = _odom_sqrt_info(cfg, dtype)
-    z6 = jnp.zeros((6,), dtype)
 
-    def _res_o(xi0, xi1):
-        return odom_residual(R0, t0, R1, t1, state.odom_R[0],
-                             state.odom_t[0], A_o, xi0, xi1)
-
+    R_rel, t_rel = se3.se3_between(R0, t0, R1, t1)
+    R_err, t_err = se3.se3_between(state.odom_R[0], state.odom_t[0],
+                                   R_rel, t_rel)
+    AJ = A_o @ se3.se3_right_jacobian_inv(se3.se3_log(R_err, t_err))
+    R_10, t_10 = se3.se3_between(R1, t1, R0, t0)
     o_valid = state.odom_valid[0]
-    J0 = jnp.where(o_valid, jax.jacfwd(_res_o, argnums=0)(z6, z6), 0.0)
-    J1 = jnp.where(o_valid, jax.jacfwd(_res_o, argnums=1)(z6, z6), 0.0)
+    J0 = jnp.where(o_valid, -(AJ @ se3.se3_adjoint(R_10, t_10)), 0.0)
+    J1 = jnp.where(o_valid, AJ, 0.0)
 
-    def _res_p(xi0):
-        return prior_residual(R0, t0, state.mprior_R, state.mprior_t,
-                              state.mprior_sqrt, xi0)
-
-    Jq = jnp.where(cfg.marginalize, jax.jacfwd(_res_p)(z6), 0.0)
+    R_pe, t_pe = se3.se3_between(state.mprior_R, state.mprior_t, R0, t0)
+    Jq_full = state.mprior_sqrt @ se3.se3_right_jacobian_inv(
+        se3.se3_log(R_pe, t_pe)
+    )
+    Jq = jnp.where(cfg.marginalize, Jq_full, 0.0)
 
     eye6 = jnp.eye(6, dtype=dtype)
     eps = jnp.asarray(1e-6, dtype)

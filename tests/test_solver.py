@@ -134,3 +134,58 @@ class TestCorridor:
         w1 = solver(window, factors)
         w2 = solver(w1, factors)
         assert np.isfinite(np.asarray(w2.t)).all()
+
+
+class TestAnalyticPoseTerms:
+    """Closed-form SE(3) between/prior Jacobians (round-4:
+    geometry/se3.se3_right_jacobian_inv + adjoint) == jacfwd."""
+
+    def test_odom_terms_match_jacfwd(self):
+        from pop_up_slam_tpu.factors.graph import (
+            _odom_terms, _odom_terms_analytic,
+        )
+
+        window, factors, _, _ = build_corridor_problem(
+            noise_odom_t=0.05, noise_odom_r=0.02
+        )
+        r_a, Ji_a, Jj_a = _odom_terms_analytic(window, factors.odom)
+        r_j, Ji_j, Jj_j = _odom_terms(window, factors.odom)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_j),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Ji_a), np.asarray(Ji_j),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Jj_a), np.asarray(Jj_j),
+                                   atol=2e-4)
+
+    def test_prior_terms_match_jacfwd(self):
+        from pop_up_slam_tpu.factors.graph import (
+            _prior_terms, _prior_terms_analytic,
+        )
+
+        window, _, gt_R, gt_t = build_corridor_problem(noise_odom_t=0.05)
+        priors = PosePriors(
+            idx=jnp.array([0, 2], jnp.int32),
+            R=gt_R[:2],
+            t=gt_t[:2] + 0.1,
+            sqrt_info=jnp.broadcast_to(10.0 * jnp.eye(6), (2, 6, 6)),
+            valid=jnp.array([True, True]),
+        )
+        r_a, J_a = _prior_terms_analytic(window, priors)
+        r_j, J_j = _prior_terms(window, priors)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_j),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(J_a), np.asarray(J_j),
+                                   atol=2e-4)
+
+    def test_linearize_analytic_poses_matches(self):
+        window, factors, _, _ = build_corridor_problem(
+            noise_odom_t=0.05, noise_odom_r=0.02, noise_plane=0.02
+        )
+        lin_a = linearize(window, factors, analytic_poses=True)
+        lin_j = linearize(window, factors, analytic_poses=False)
+        for name in lin_a._fields:
+            a, b = np.asarray(getattr(lin_a, name)), np.asarray(
+                getattr(lin_j, name))
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=2e-3, err_msg=name
+            )
