@@ -326,10 +326,15 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     H01 = J0.T @ J1
     H11 = J1.T @ J1
 
-    H00_inv = jnp.linalg.inv(H00)
-    Hm = H11 - H01.T @ H00_inv @ H01
+    # Unrolled 6x6 Cholesky-solve (solver/schur.py): the
+    # jnp.linalg.inv + cholesky custom calls cost ~100 us of launch/
+    # While-loop sequencing per frame on a v5e for these tiny systems.
+    from ..solver.schur import chol_small, cho_solve_small
+
+    L00 = chol_small(H00)
+    Hm = H11 - H01.T @ cho_solve_small(L00, H01)
     Hm = 0.5 * (Hm + Hm.T) + cfg.marg_info_floor * eye6
-    sqrt = jnp.linalg.cholesky(Hm).T
+    sqrt = chol_small(Hm).T
     return window.R[1], window.t[1], sqrt
 
 

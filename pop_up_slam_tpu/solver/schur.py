@@ -118,6 +118,55 @@ def solve_schur(
     return SchurSolution(dxp, dxl, S)
 
 
+def chol_small(A: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky of a small static SPD matrix (lower factor).
+
+    ``jnp.linalg.cholesky`` lowers to an XLA custom-call with a While
+    loop — tens of microseconds of launch/sequencing for a 6x6 on TPU.
+    For the static tiny systems in marginalization and covariance
+    recovery this fully-unrolled version fuses into the surrounding
+    program.  A ~1e-12 pivot floor keeps padded/degenerate inputs
+    finite (callers floor their own systems properly)."""
+    import numpy as np
+
+    n = A.shape[-1]
+    # Right-looking, vectorized per column: n steps of (n,)-vector ops
+    # (scalar-unrolled substitution is ~3x more sequential latency).
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(A[..., j, j], 1e-12))
+        col = jnp.where(
+            np.arange(n) >= j, A[..., :, j] / d[..., None], 0.0
+        )                                                  # (..., n)
+        L = L.at[..., :, j].set(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    return L
+
+
+def cho_solve_small(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) X = B by substitution, vectorized over the RHS
+    columns and the row dimension (n steps of (n, m) updates).
+
+    L: (..., n, n) lower from :func:`chol_small`; B: (..., n, m)."""
+    import numpy as np
+
+    n = L.shape[-1]
+    rows = np.arange(n)
+    # forward: L Y = B
+    Y = B
+    for i in range(n):
+        yi = Y[..., i, :] / L[..., i, i, None]
+        upd = jnp.where((rows > i)[:, None], L[..., :, i, None] * yi[..., None, :], 0.0)
+        Y = Y.at[..., i, :].set(yi) - upd
+    # backward: L^T X = Y
+    X = Y
+    for i in range(n - 1, -1, -1):
+        xi = X[..., i, :] / L[..., i, i, None]
+        upd = jnp.where((rows < i)[:, None], L[..., i, :, None] * xi[..., None, :], 0.0)
+        X = X.at[..., i, :].set(xi) - upd
+    return X
+
+
 def make_solve_fn(pallas: str = "auto"):
     """Select the reduced-system solver implementation.
 
