@@ -305,17 +305,22 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     R1, t1 = window.R[1], window.t[1]
     A_o = _odom_sqrt_info(cfg, dtype)
 
+    # First-order Jr^-1 is exact to O(|r|^2) and the arguments here are
+    # residuals of a just-re-solved window (~1e-2) — quadratic error
+    # ~1e-4, far below the marg_info_floor.
     R_rel, t_rel = se3.se3_between(R0, t0, R1, t1)
     R_err, t_err = se3.se3_between(state.odom_R[0], state.odom_t[0],
                                    R_rel, t_rel)
-    AJ = A_o @ se3.se3_right_jacobian_inv(se3.se3_log(R_err, t_err))
+    AJ = A_o @ se3.se3_right_jacobian_inv_approx(
+        se3.se3_log(R_err, t_err)
+    )
     R_10, t_10 = se3.se3_between(R1, t1, R0, t0)
     o_valid = state.odom_valid[0]
     J0 = jnp.where(o_valid, -(AJ @ se3.se3_adjoint(R_10, t_10)), 0.0)
     J1 = jnp.where(o_valid, AJ, 0.0)
 
     R_pe, t_pe = se3.se3_between(state.mprior_R, state.mprior_t, R0, t0)
-    Jq_full = state.mprior_sqrt @ se3.se3_right_jacobian_inv(
+    Jq_full = state.mprior_sqrt @ se3.se3_right_jacobian_inv_approx(
         se3.se3_log(R_pe, t_pe)
     )
     Jq = jnp.where(cfg.marginalize, Jq_full, 0.0)
@@ -326,13 +331,13 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     H01 = J0.T @ J1
     H11 = J1.T @ J1
 
-    # Unrolled 6x6 Cholesky-solve (solver/schur.py): the
-    # jnp.linalg.inv + cholesky custom calls cost ~100 us of launch/
-    # While-loop sequencing per frame on a v5e for these tiny systems.
-    from ..solver.schur import chol_small, cho_solve_small
+    # Blocked closed-form 6x6 inverse + one unrolled Cholesky
+    # (solver/schur.py): the jnp.linalg custom calls cost ~100 us of
+    # launch/While-loop sequencing per frame on a v5e for these tiny
+    # systems, and substitution chains are latency-bound too.
+    from ..solver.schur import chol_small, spd_inv6_blocked
 
-    L00 = chol_small(H00)
-    Hm = H11 - H01.T @ cho_solve_small(L00, H01)
+    Hm = H11 - H01.T @ spd_inv6_blocked(H00) @ H01
     Hm = 0.5 * (Hm + Hm.T) + cfg.marg_info_floor * eye6
     sqrt = chol_small(Hm).T
     return window.R[1], window.t[1], sqrt

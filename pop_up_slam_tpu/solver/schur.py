@@ -118,6 +118,27 @@ def solve_schur(
     return SchurSolution(dxp, dxl, S)
 
 
+def spd_inv6_blocked(H: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Closed-form 6x6 SPD inverse via 3x3 block elimination.
+
+    inv([[A, B], [B^T, D]]) built from two :func:`inv3x3` calls and a
+    handful of 3x3 matmuls — an order of magnitude fewer dispatched ops
+    than a substitution chain, which is what matters on a latency-bound
+    TPU for the tiny systems in marginalization/covariance paths."""
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    Ai = inv3x3(A, eps)
+    AiB = Ai @ B
+    S = D - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = inv3x3(S, eps)
+    TR = -AiB @ Si                       # top-right block
+    TL = Ai - TR @ jnp.swapaxes(AiB, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def chol_small(A: jnp.ndarray) -> jnp.ndarray:
     """Unrolled Cholesky of a small static SPD matrix (lower factor).
 

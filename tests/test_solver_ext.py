@@ -238,3 +238,40 @@ class TestStepSanitization:
         b = jnp.array([8.0, 5.0, 27.0], jnp.float32)
         x = np.asarray(chol_solve_pallas(S, b, interpret=True))
         np.testing.assert_allclose(x, [2.0, 0.0, 3.0], atol=1e-5)
+
+
+class TestSmallDenseHelpers:
+    """Unrolled small-system helpers (solver/schur.py) vs numpy."""
+
+    def test_chol_and_solve(self):
+        from pop_up_slam_tpu.solver.schur import chol_small, cho_solve_small
+
+        rng = np.random.default_rng(3)
+        M = rng.normal(size=(6, 6)).astype(np.float32)
+        A = M @ M.T + 6 * np.eye(6, dtype=np.float32)
+        L = np.asarray(chol_small(jnp.asarray(A)))
+        np.testing.assert_allclose(L @ L.T, A, atol=1e-4)
+        B = rng.normal(size=(6, 3)).astype(np.float32)
+        X = np.asarray(cho_solve_small(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(A @ X, B, atol=1e-3)
+
+    def test_spd_inv6_blocked(self):
+        from pop_up_slam_tpu.solver.schur import spd_inv6_blocked
+
+        rng = np.random.default_rng(4)
+        M = rng.normal(size=(2, 6, 6)).astype(np.float32)
+        A = M @ np.swapaxes(M, -1, -2) + 6 * np.eye(6, dtype=np.float32)
+        Ai = np.asarray(spd_inv6_blocked(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            Ai @ A, np.broadcast_to(np.eye(6), (2, 6, 6)), atol=1e-3
+        )
+
+    def test_jr_inv_approx_small_angle(self):
+        from pop_up_slam_tpu.geometry import se3
+
+        xi = jnp.asarray(
+            np.random.default_rng(5).normal(0, 0.01, 6), jnp.float32
+        )
+        exact = np.asarray(se3.se3_right_jacobian_inv(xi))
+        approx = np.asarray(se3.se3_right_jacobian_inv_approx(xi))
+        assert np.abs(exact - approx).max() < 1e-4
