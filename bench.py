@@ -240,26 +240,35 @@ def main():
     _log("chunked runner warm")
 
     # --- Stage A: quick 2-chunk headline estimate ---
+    chunk_times = []
     t0 = time.perf_counter()
     for c in range(N_WARMUP_CHUNKS, N_WARMUP_CHUNKS + N_QUICK_CHUNKS):
+        tc0 = time.perf_counter()
         state, out = run(state, mc[c], oc[c], tc[c])
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        chunk_times.append(time.perf_counter() - tc0)
     dt = time.perf_counter() - t0
     fps_quick = N_QUICK_CHUNKS * CHUNK / dt
     _publish(**_headline(fps_quick), measured_chunks=N_QUICK_CHUNKS)
     _log(f"stage A (quick): {fps_quick:.1f} frames/s")
 
     # --- Stage B: full measurement over the remaining chunks ---
-    n_rest = N_CHUNKS - N_QUICK_CHUNKS
     t0 = time.perf_counter()
     for c in range(N_WARMUP_CHUNKS + N_QUICK_CHUNKS,
                    N_WARMUP_CHUNKS + N_CHUNKS):
+        tc0 = time.perf_counter()
         state, out = run(state, mc[c], oc[c], tc[c])
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        chunk_times.append(time.perf_counter() - tc0)
     dt += time.perf_counter() - t0
     fps = N_CHUNKS * CHUNK / dt
-    _publish(**_headline(fps), measured_chunks=N_CHUNKS)
-    _log(f"stage B (full): {fps:.1f} frames/s")
+    # The tunneled chip is multi-tenant; run-to-run contention swings
+    # the average +-25%.  The fastest chunk is the contention-robust
+    # view of the same compiled program (labeled, not the headline).
+    peak = CHUNK / min(chunk_times)
+    _publish(**_headline(fps), measured_chunks=N_CHUNKS,
+             peak_frames_per_s=round(peak, 2))
+    _log(f"stage B (full): {fps:.1f} frames/s (peak chunk {peak:.1f})")
 
     # --- Stage C: BA iters/s on the populated window from the run ---
     window = state.window
