@@ -94,3 +94,37 @@ def test_sharded_runner_block_invariance(stream):
     np.testing.assert_allclose(
         np.asarray(t_a), np.asarray(t_b), atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_sharded_runner_finite_without_walls():
+    """Regression pin (round 4): at low resolution with the default
+    (640-wide-tuned) popup config, frames yield ZERO wall detections;
+    the window then develops near-null joint directions whose f32-formed
+    Schur complement goes indefinite, and the factor padding used to
+    inject 0 * NaN through jacfwd-of-so3_log into the psum.  The
+    combination of identity-valued padding + sanitize_step must keep
+    the distributed trajectory finite on odometry alone."""
+    K = Intrinsics.create(48.0, 48.0, 48.0, 32.0)
+    world = synthetic.corridor_world()
+    Rs, ts = synthetic.corridor_trajectory(17)
+    labels, _ = jax.vmap(
+        lambda R_, t_: synthetic.render_frame(K, R_, t_, world, H, W)
+    )(Rs, ts)
+    masks = labels[1:] == synthetic.LABEL_GROUND
+    oR, ot = se3.se3_between(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
+    pcfg = pp.PopupConfig()      # default: min_cols=12 etc. -> no walls
+    scfg = SlamConfig(window_size=8, max_landmarks=64,
+                      max_det=pcfg.max_segments + 1)
+    mesh = make_mesh(8)
+    state = slam_init(scfg, Rs[0], ts[0])
+    state, (R_e, t_e) = run_sequence_sharded(
+        state, masks, oR, ot, K, pcfg, scfg, mesh, block=16, donate=False
+    )
+    t_np = np.asarray(t_e)
+    assert np.isfinite(t_np).all()
+    # With zero landmarks only odometry + the marginal prior constrain
+    # the track; a few-decimeter drift over 16 frames is the expected
+    # behavior of this degenerate config — the gate catches runaway
+    # divergence (the NaN bug produced non-finite values, not drift).
+    assert np.abs(t_np - np.asarray(ts[1:])).max() < 0.5
