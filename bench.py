@@ -325,6 +325,25 @@ def main():
     )
     _log(f"stage D: popup {popup_us:.0f} us/frame of {frame_us:.0f} us")
 
+    # --- Stage E: fully-monocular throughput (plane-VO in the loop —
+    # no odometry input at all; the reference's headline operating
+    # mode, paper arXiv:1703.07334 §I/§V) ---
+    from pop_up_slam_tpu.pipeline import make_chunked_vo_runner, vo_init
+
+    vo_run = make_chunked_vo_runner(K, pcfg, scfg, donate=True)
+    vs = vo_init(slam_init(scfg, R0, t0_), scfg.max_det)
+    vs, vout = vo_run(vs, mc[0])
+    jax.block_until_ready(vout)
+    vo_fps = []
+    for p in range(2):
+        t0 = time.perf_counter()
+        for c in range(1, N_CHUNKS):
+            vs, vout = vo_run(vs, mc[c])
+        jax.block_until_ready(vout)
+        vo_fps.append((N_CHUNKS - 1) * CHUNK / (time.perf_counter() - t0))
+    _publish(monocular_vo_frames_per_s=round(max(vo_fps), 2))
+    _log(f"stage E: monocular VO {max(vo_fps):.1f} frames/s")
+
     _finalize("complete")
 
 
