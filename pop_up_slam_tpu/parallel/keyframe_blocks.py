@@ -255,7 +255,7 @@ def keyframe_sharded_gn_solve(
         lin = keyframe_sharded_linearize(w, routed, mesh, axis)
         sol = solve_schur(lin, w, damping)
         dxp, dxl, _ = sanitize_step(sol.dxp, sol.dxl)
-        w2 = apply_update(w, dxp, dxl)
+        w2 = apply_update(w, dxp, dxl, presanitized=True)
         sn = jnp.sqrt(jnp.sum(dxp ** 2) + jnp.sum(dxl ** 2))
         return w2, (lin.cost, sn)
 

@@ -305,13 +305,16 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     R1, t1 = window.R[1], window.t[1]
     A_o = _odom_sqrt_info(cfg, dtype)
 
-    # First-order Jr^-1 is exact to O(|r|^2) and the arguments here are
-    # residuals of a just-re-solved window (~1e-2) — quadratic error
-    # ~1e-4, far below the marg_info_floor.
+    # Exact closed-form Jr^-1 (not the first-order approximation): the
+    # residual here is usually ~1e-2 (just-re-solved window) where the
+    # approximation's O(|r|^2) error is negligible, but a rejected
+    # solve (sanitize_step zeroing) or a plane-VO prior fallback can
+    # leave a large residual, and the exact form costs only two extra
+    # 6x6 products per keyframe (ADVICE r4).
     R_rel, t_rel = se3.se3_between(R0, t0, R1, t1)
     R_err, t_err = se3.se3_between(state.odom_R[0], state.odom_t[0],
                                    R_rel, t_rel)
-    AJ = A_o @ se3.se3_right_jacobian_inv_approx(
+    AJ = A_o @ se3.se3_right_jacobian_inv(
         se3.se3_log(R_err, t_err)
     )
     R_10, t_10 = se3.se3_between(R1, t1, R0, t0)
@@ -320,7 +323,7 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     J1 = jnp.where(o_valid, AJ, 0.0)
 
     R_pe, t_pe = se3.se3_between(state.mprior_R, state.mprior_t, R0, t0)
-    Jq_full = state.mprior_sqrt @ se3.se3_right_jacobian_inv_approx(
+    Jq_full = state.mprior_sqrt @ se3.se3_right_jacobian_inv(
         se3.se3_log(R_pe, t_pe)
     )
     Jq = jnp.where(cfg.marginalize, Jq_full, 0.0)

@@ -50,13 +50,17 @@ def sanitize_step(dxp: jnp.ndarray, dxl: jnp.ndarray, max_norm: float = 1e3):
     return (jnp.where(ok, dxp, 0.0), jnp.where(ok, dxl, 0.0), ok)
 
 
-def apply_update(window: Window, dxp: jnp.ndarray, dxl: jnp.ndarray) -> Window:
+def apply_update(window: Window, dxp: jnp.ndarray, dxl: jnp.ndarray,
+                 presanitized: bool = False) -> Window:
     """Retract pose and landmark updates onto the manifold.
 
     Non-finite / divergent steps are zeroed first (:func:`sanitize_step`)
     so every solver path — single-device and all sharded variants — is
-    NaN-step-safe in one place."""
-    dxp, dxl, _ = sanitize_step(dxp, dxl)
+    NaN-step-safe in one place.  Drivers that already sanitized (they
+    need the sanitized step for norms) pass ``presanitized=True`` to
+    skip the redundant second pass."""
+    if not presanitized:
+        dxp, dxl, _ = sanitize_step(dxp, dxl)
     R_new, t_new = se3.se3_retract(window.R, window.t, dxp)
     free = (window.pose_valid & (~window.pose_fixed))[:, None]
     R_new = jnp.where(free[..., None], R_new, window.R)
@@ -86,7 +90,7 @@ def gn_solve(
                         robust=robust)
         sol = solve_fn(lin, w, damping)
         dxp, dxl, _ = sanitize_step(sol.dxp, sol.dxl)
-        w2 = apply_update(w, dxp, dxl)
+        w2 = apply_update(w, dxp, dxl, presanitized=True)
         sn = jnp.sqrt(jnp.sum(dxp ** 2) + jnp.sum(dxl ** 2))
         return w2, (lin.cost, sn)
 

@@ -188,6 +188,15 @@ def cho_solve_small(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
+# Pallas-vs-jnp auto-dispatch crossover on the Schur GEMM work 6W*3L.
+# Round-4 interleaved A/B at W=8/L=64 measured the Pallas kernel 1.10x
+# faster (3074 vs 2806 it/s) even though 48*192=9216 sat below the old
+# 16384 threshold (calibrated earlier on the +-25% multi-tenant chip);
+# round-5 recalibration moves the crossover below the production
+# window so the measured-faster path is the default there.
+PALLAS_CROSSOVER = 8192
+
+
 def make_solve_fn(pallas: str = "auto"):
     """Select the reduced-system solver implementation.
 
@@ -220,7 +229,7 @@ def make_solve_fn(pallas: str = "auto"):
     # above).  Below it the launch overhead eats the fusion win.
     def auto_fn(lin, window, damping=1e-6):
         W, L = lin.bp.shape[0], lin.bl.shape[0]
-        if 6 * W * 3 * L >= 16384:
+        if 6 * W * 3 * L >= PALLAS_CROSSOVER:
             return schur_reduce_pallas(lin, window, damping)
         return solve_schur(lin, window, damping)
 
