@@ -156,20 +156,34 @@ def _headline(fps):
     }
 
 
-def _time_solver(window, factors, scfg, pallas):
-    """Time jitted gn_solve(iters=BA_ITERS) on a populated window."""
+def _time_solver(window, factors, scfg, which):
+    """Time BA_ITERS GN iterations per call on a populated window.
+
+    ``which``: "fused" = the whole-iteration fused Pallas kernel
+    (ops/fused_gn.py, the production TPU path); "auto"/"on"/"off" =
+    gn_solve with the corresponding Schur solve_fn."""
     from pop_up_slam_tpu.solver import gn_solve
     from pop_up_slam_tpu.solver.schur import make_solve_fn
 
-    solve_fn = make_solve_fn(pallas)
+    if which == "fused":
+        from pop_up_slam_tpu.ops.fused_gn import fused_gn_solve
 
-    run = jax.jit(
-        lambda w: gn_solve(
-            w, factors, iters=BA_ITERS, damping=scfg.damping,
-            solve_fn=solve_fn, analytic_planes=scfg.analytic_planes,
-            robust=scfg.robust,
+        run = jax.jit(
+            lambda w: fused_gn_solve(
+                w, factors, iters=BA_ITERS, damping=scfg.damping,
+                robust=scfg.robust,
+            )[0]
         )
-    )
+    else:
+        solve_fn = make_solve_fn(which)
+
+        run = jax.jit(
+            lambda w: gn_solve(
+                w, factors, iters=BA_ITERS, damping=scfg.damping,
+                solve_fn=solve_fn, analytic_planes=scfg.analytic_planes,
+                robust=scfg.robust,
+            )
+        )
     out = run(window)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -292,14 +306,19 @@ def main():
     # fraction are calibrated/hardcoded for TPU; a hypothetical GPU
     # backend would get neither — ADVICE r4).
     on_tpu = jax.default_backend() == "tpu"
-    ba_auto = _time_solver(window, factors, scfg, "auto")
+    from pop_up_slam_tpu.pipeline.slam import _use_fused
+
+    fused_on = on_tpu and _use_fused(scfg)
+    ba_main = _time_solver(window, factors, scfg,
+                           "fused" if fused_on else "auto")
     Wn, n_land = int(window.window_size), int(window.max_landmarks)
     flops = _schur_flops_per_iter(Wn, n_land)
     _publish(
-        ba_iters_per_s_1chip=round(ba_auto, 2),
+        ba_iters_per_s_1chip=round(ba_main, 2),
         ba_window=[Wn, n_land],
-        ba_solver=_auto_solver_label(Wn, n_land) if on_tpu else "jnp",
-        schur_gflops_per_s=round(ba_auto * flops / 1e9, 2),
+        ba_solver="auto:fused" if fused_on
+        else (_auto_solver_label(Wn, n_land) if on_tpu else "jnp"),
+        schur_gflops_per_s=round(ba_main * flops / 1e9, 2),
         schur_flops_per_iter=flops,
     )
     if on_tpu:
@@ -310,12 +329,13 @@ def main():
         # number documents exactly how far from compute-bound it is.
         _publish(
             schur_frac_of_peak_bf16=round(
-                ba_auto * flops / 1e9 / 197000.0, 8
+                ba_main * flops / 1e9 / 197000.0, 8
             ),
         )
-    _log(f"stage C: BA auto {ba_auto:.0f} iters/s")
+    _log(f"stage C: BA {'fused' if fused_on else 'auto'} "
+         f"{ba_main:.0f} iters/s")
     if on_tpu:
-        # kernel-vs-jnp comparison at this window size (forced paths)
+        # per-op paths at this window size (forced) for the kernel delta
         ba_pallas = _time_solver(window, factors, scfg, "on")
         ba_jnp = _time_solver(window, factors, scfg, "off")
         _publish(
@@ -323,8 +343,11 @@ def main():
             ba_iters_per_s_pallas=round(ba_pallas, 2),
             pallas_solve_speedup=round(ba_pallas / ba_jnp, 3),
         )
+        if fused_on:
+            _publish(fused_solve_speedup=round(ba_main / ba_jnp, 3))
         _log(f"stage C: BA pallas {ba_pallas:.0f} / jnp {ba_jnp:.0f} "
-             f"iters/s (kernel speedup {ba_pallas / ba_jnp:.2f}x)")
+             f"iters/s (fused speedup "
+             f"{ba_main / ba_jnp:.2f}x)")
 
     # --- Stage D: device-time split (pop-up front-end vs full frame) ---
     popup_batch = jax.jit(

@@ -73,6 +73,15 @@ class SlamConfig(NamedTuple):
     # Reduced-system solver: "auto" = Pallas Schur-GEMM + fused
     # Cholesky kernels on TPU, pure-jnp elsewhere (solver/schur.py).
     pallas: str = "auto"
+    # Whole-GN-iteration fused Pallas kernel (ops/fused_gn.py): the
+    # complete linearize -> Schur -> Cholesky -> retract chain for all
+    # gn_iters in ONE kernel launch.  "auto" = on TPU when the window
+    # shape fits (6W <= 128, 3L <= 256, plane factors <= 128) and the
+    # solver is GN; "on" forces the fused path (pure-jnp body off-TPU —
+    # used by equivalence tests); "off" keeps the per-op gn_solve.
+    # Measured (v5e, W=8/L=64, 2 iters): 216 us/solve fused vs 389 jnp
+    # vs 408 Pallas-Schur — 1.8x (scripts/bench_fused.py).
+    fused: str = "auto"
     # IRLS robust kernels per factor family (factors/robust.py).
     robust: RobustConfig = RobustConfig()
     # Fold the exiting keyframe's factors into a Gaussian prior on the
@@ -346,6 +355,32 @@ def _marginalize_oldest(state: SlamState, cfg: SlamConfig):
     return window.R[1], window.t[1], sqrt
 
 
+def _use_fused(cfg: SlamConfig) -> bool:
+    """Trace-time choice of the fused whole-iteration GN kernel.
+
+    ``analytic_planes`` is irrelevant to the fused path (it is always
+    analytic in-kernel); the shape gate mirrors the production factor
+    layout of :func:`_build_factors` (O = W-1 odometry + 1 prior +
+    W*D plane factors)."""
+    from ..ops.fused_gn import fused_gn_supported
+
+    if cfg.fused == "off":
+        return False
+    ok = fused_gn_supported(
+        cfg.window_size, cfg.max_landmarks,
+        cfg.window_size * cfg.max_det, cfg.window_size - 1, 1,
+    )
+    if cfg.fused == "on":
+        if not ok:
+            raise ValueError(
+                "fused='on' but the window shape is outside the fused "
+                f"kernel's supported sizes ({cfg.window_size}, "
+                f"{cfg.max_landmarks}, {cfg.window_size * cfg.max_det})"
+            )
+        return True
+    return ok and jax.default_backend() == "tpu"
+
+
 def _keyframe_update(state: SlamState, det: FrameDetections,
                      cfg: SlamConfig, solve_impl=None) -> SlamState:
     """Insert the current frame as a keyframe and re-solve the window.
@@ -478,7 +513,15 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
             n_kf=state.n_kf + 1,
         )
     solve_fn = make_solve_fn(cfg.pallas)
-    if cfg.solver == "gn":
+    if cfg.solver == "gn" and _use_fused(cfg):
+        from ..ops.fused_gn import fused_gn_solve
+
+        window_opt, _ = fused_gn_solve(
+            state.window, factors, iters=cfg.gn_iters,
+            damping=cfg.damping, robust=cfg.robust,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+    elif cfg.solver == "gn":
         window_opt, _ = gn_solve(
             state.window, factors, iters=cfg.gn_iters,
             damping=cfg.damping, solve_fn=solve_fn,
