@@ -27,22 +27,25 @@ import time
 import numpy as np
 
 
-def _snapshot(carry_state, est_R, est_t, prev_rel):
+def _snapshot(carry_state, est_R, est_t, prev_rel, rec):
     """Checkpoint pytree: solver carry + trajectory so far + the
-    constant-velocity cache (SURVEY.md §5 "Checkpoint / resume")."""
+    constant-velocity cache + the smoothing recorder (SURVEY.md §5
+    "Checkpoint / resume")."""
     return {
         "state": carry_state,
         "est_R": np.stack(est_R).astype(np.float32),
         "est_t": np.stack(est_t).astype(np.float32),
         "prev_R": np.asarray(prev_rel[0], np.float32),
         "prev_t": np.asarray(prev_rel[1], np.float32),
+        "recorder": rec.snapshot(),
     }
 
 
 def run_tum_sequence(cfg, odometry: str = "gt_perturb",
                      odom_sigma_t: float = 0.01,
                      odom_sigma_r: float = 0.003,
-                     max_frames: int = 0):
+                     max_frames: int = 0,
+                     smooth: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +80,9 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
 
     state = slam_init(scfg, jnp.asarray(gt_R[0], jnp.float32),
                       jnp.asarray(gt_t[0], jnp.float32))
+    from ..pipeline.smoothing import TrajectoryRecorder
+
+    rec = TrajectoryRecorder(scfg, gt_R[0], gt_t[0])
 
     @jax.jit
     def step(state, mask, oR, ot):
@@ -107,7 +113,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         from ..utils.checkpoint import load_state
 
         snap, meta = load_state(
-            cfg.resume, _snapshot(carry(), est_R, est_t, prev_rel)
+            cfg.resume, _snapshot(carry(), est_R, est_t, prev_rel, rec)
         )
         if meta.get("odometry") != odometry:
             raise ValueError(
@@ -123,6 +129,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
             state = vo_state.slam
         else:
             state = snap["state"]
+        rec = TrajectoryRecorder.restore(scfg, snap["recorder"])
         # keep the gt-perturbation noise stream aligned with an
         # uninterrupted run: replay the draws of the skipped frames
         for _ in range(start_k - 1):
@@ -133,7 +140,8 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         if ckpt and cfg.checkpoint_every and k % cfg.checkpoint_every == 0:
             from ..utils.checkpoint import save_state
 
-            save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel),
+            save_state(ckpt,
+                       _snapshot(carry(), est_R, est_t, prev_rel, rec),
                        meta={"next_k": k + 1, "odometry": odometry})
 
     # One jitted exp for the whole run — constructing jax.jit(...) per
@@ -164,6 +172,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
             R_np, t_np = np.asarray(R), np.asarray(t)
             est_R.append(R_np)
             est_t.append(t_np)
+            rec.record(state)
             logger.log(frame=int(i), n_kf=int(state.n_kf))
             maybe_checkpoint(k)
             continue
@@ -198,6 +207,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         prev_rel = (est_R[-1].T @ R_np, est_R[-1].T @ (t_np - est_t[-1]))
         est_R.append(R_np)
         est_t.append(t_np)
+        rec.record(state)
         logger.log(frame=int(i), n_kf=int(state.n_kf))
         maybe_checkpoint(k)
     wall = time.perf_counter() - t_start
@@ -205,7 +215,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
     if ckpt:
         from ..utils.checkpoint import save_state
 
-        save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel),
+        save_state(ckpt, _snapshot(carry(), est_R, est_t, prev_rel, rec),
                    meta={"next_k": n, "odometry": odometry})
 
     # Marginal covariance of the current keyframe pose (iSAM covariance
@@ -221,18 +231,39 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
     trans_std = float(np.sqrt(max(float(np.trace(pose_cov[:3, :3])), 0.0)))
     rot_std = float(np.sqrt(max(float(np.trace(pose_cov[3:, 3:])), 0.0)))
 
-    ate, _, _ = ate_rmse(gt_t[:n], np.stack(est_t))
+    ate_filter, _, _ = ate_rmse(gt_t[:n], np.stack(est_t))
+
+    # Full-trajectory smoothing: batch GN over the whole keyframe
+    # history (pipeline/smoothing.py) — the published path then
+    # reflects all later corrections, matching the reference iSAM's
+    # whole-trajectory re-optimization (SURVEY.md §2.1/§3.3).  The
+    # incremental (filtering) ATE is reported alongside.
+    out_R, out_t = np.stack(est_R), np.stack(est_t)
+    ate = ate_filter
+    if smooth and rec.n_kf >= 2:
+        from ..pipeline.smoothing import emit_frames, smooth_trajectory
+
+        timer.start("smooth")
+        kf_R, kf_t, _ = smooth_trajectory(rec, state, scfg, iters=8,
+                                          damping=scfg.damping)
+        fR, ft = emit_frames(rec, kf_R, kf_t)
+        out_R = np.concatenate([kf_R[:1], fR], axis=0)
+        out_t = np.concatenate([kf_t[:1], ft], axis=0)
+        timer.stop()
+        ate, _, _ = ate_rmse(gt_t[:n], out_t)
+
     if cfg.out_trajectory:
         stamps = [float(seq.rgb_stamps[i]) for i in frame_ids]
-        tum.write_trajectory(cfg.out_trajectory, stamps,
-                             np.stack(est_R), np.stack(est_t))
+        tum.write_trajectory(cfg.out_trajectory, stamps, out_R, out_t)
     logger.close()
     return {
         "config": cfg.name,
         "sequence": cfg.sequence_dir,
         "frames": n,
         "odometry": odometry,
+        "smoothed": bool(smooth and rec.n_kf >= 2),
         "ate_rmse_m": round(float(ate), 4),
+        "ate_filter_rmse_m": round(float(ate_filter), 4),
         "n_keyframes": int(state.n_kf),
         "frames_per_s": round((n - start_k) / max(wall, 1e-9), 2),
         "pose_trans_std_m": round(trans_std, 5),
