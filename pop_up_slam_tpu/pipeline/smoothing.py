@@ -65,6 +65,10 @@ class TrajectoryRecorder:
         self.pf_pi = [np.zeros((self.D, 4), np.float32)]
         self.pf_lm = [np.zeros((self.D,), np.int32)]
         self.pf_valid = [np.zeros((self.D,), bool)]
+        # creation stamp of each factor's landmark at record time: a
+        # slot recycled later (eviction/merge) carries a different
+        # stamp, and the stale factor is dropped at smoothing time
+        self.pf_stamp = [np.full((self.D,), -2, np.int32)]
         self.n_kf = 1
         self.frame_kf: list = []    # per frame: anchor kf index
         self.frame_relR: list = []  # pose = kf_pose o rel
@@ -80,8 +84,13 @@ class TrajectoryRecorder:
             self.odom_R.append(np.asarray(state.odom_R[oslot], np.float32))
             self.odom_t.append(np.asarray(state.odom_t[oslot], np.float32))
             self.pf_pi.append(np.asarray(state.pf_pi[slot], np.float32))
-            self.pf_lm.append(np.asarray(state.pf_lm[slot], np.int32))
+            lm = np.asarray(state.pf_lm[slot], np.int32)
+            self.pf_lm.append(lm)
             self.pf_valid.append(np.asarray(state.pf_valid[slot], bool))
+            created = np.asarray(state.store.created_kf, np.int32)
+            self.pf_stamp.append(
+                created[np.clip(lm, 0, created.shape[0] - 1)]
+            )
             self.kf_R.append(np.asarray(state.window.R[slot], np.float32))
             self.kf_t.append(np.asarray(state.window.t[slot], np.float32))
             self.n_kf = n_kf_new
@@ -118,6 +127,7 @@ class TrajectoryRecorder:
             "pf_pi": np.stack(self.pf_pi),
             "pf_lm": np.stack(self.pf_lm),
             "pf_valid": np.stack(self.pf_valid),
+            "pf_stamp": np.stack(self.pf_stamp),
             "frame_kf": np.asarray(self.frame_kf, np.int32),
             "frame_relR": (np.stack(self.frame_relR) if self.frame_relR
                            else np.zeros((0, 3, 3), np.float32)),
@@ -135,6 +145,7 @@ class TrajectoryRecorder:
         rec.pf_pi = list(np.asarray(snap["pf_pi"], np.float32))
         rec.pf_lm = list(np.asarray(snap["pf_lm"], np.int32))
         rec.pf_valid = list(np.asarray(snap["pf_valid"], bool))
+        rec.pf_stamp = list(np.asarray(snap["pf_stamp"], np.int32))
         rec.n_kf = len(rec.kf_R)
         rec.frame_kf = list(np.asarray(snap["frame_kf"], np.int32))
         rec.frame_relR = list(np.asarray(snap["frame_relR"], np.float32))
@@ -189,12 +200,19 @@ def build_smoothing_problem(
     )
 
     F = N * D
+    lm_idx = np.stack(rec.pf_lm).reshape(F)
+    valid = np.stack(rec.pf_valid).reshape(F)
+    # drop factors whose landmark slot was recycled (evicted/merged)
+    # after the observation: the slot's creation stamp changed
+    created_now = np.asarray(state.store.created_kf, np.int32)
+    stamp = np.stack(rec.pf_stamp).reshape(F)
+    fresh = created_now[np.clip(lm_idx, 0, L - 1)] == stamp
     pf = PlaneFactors(
         pose_idx=jnp.repeat(jnp.arange(N, dtype=jnp.int32), D),
-        lm_idx=jnp.asarray(np.stack(rec.pf_lm).reshape(F), jnp.int32),
+        lm_idx=jnp.asarray(lm_idx, jnp.int32),
         pi_meas=jnp.asarray(np.stack(rec.pf_pi).reshape(F, 4)),
         sqrt_info=jnp.broadcast_to(_plane_sqrt_info(cfg, f32), (F, 3, 3)),
-        valid=jnp.asarray(np.stack(rec.pf_valid).reshape(F)),
+        valid=jnp.asarray(valid & fresh),
     )
 
     info = cfg.init_prior_info if anchor_info is None else anchor_info

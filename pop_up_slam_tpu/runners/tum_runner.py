@@ -265,6 +265,7 @@ def run_tum_sequence(cfg, odometry: str = "gt_perturb",
         "ate_rmse_m": round(float(ate), 4),
         "ate_filter_rmse_m": round(float(ate_filter), 4),
         "n_keyframes": int(state.n_kf),
+        "lm_overflow": int(state.n_overflow),
         "frames_per_s": round((n - start_k) / max(wall, 1e-9), 2),
         "pose_trans_std_m": round(trans_std, 5),
         "pose_rot_std_rad": round(rot_std, 5),
