@@ -152,6 +152,70 @@ def main():
                        f"<= {n_dev}",
         }
 
+    # --- production sharded runner: sharding cleanliness (round-4
+    # VERDICT weak #3).  XLA prints "Involuntary full rematerialization"
+    # to stderr when a scan-carry tensor enters with a sharding it must
+    # all-gather away every step; the runner's explicit in/out
+    # shardings must keep the carry replicated.  Run a small block in a
+    # subprocess and grep its stderr.
+    def check_runner_shardings():
+        code = (
+            "import jax, jax.numpy as jnp\n"
+            "from pop_up_slam_tpu.geometry import se3\n"
+            "from pop_up_slam_tpu.geometry.camera import Intrinsics\n"
+            "from pop_up_slam_tpu.io import synthetic\n"
+            "from pop_up_slam_tpu.parallel import make_mesh\n"
+            "from pop_up_slam_tpu.pipeline import (SlamConfig,\n"
+            "    make_sharded_runner, slam_init)\n"
+            "from pop_up_slam_tpu.popup import popup as pp\n"
+            "n = len(jax.devices()); mesh = make_mesh(n)\n"
+            "H, W = 64, 96\n"
+            "K = Intrinsics.create(48.0, 48.0, 48.0, 32.0)\n"
+            "world = synthetic.corridor_world()\n"
+            "R, t = synthetic.corridor_trajectory(n + 1)\n"
+            "labels, _ = jax.vmap(lambda R_, t_:\n"
+            "    synthetic.render_frame(K, R_, t_, world, H, W))(R, t)\n"
+            "masks = labels[1:] == synthetic.LABEL_GROUND\n"
+            "oR, ot = se3.se3_between(R[:-1], t[:-1], R[1:], t[1:])\n"
+            "pcfg = pp.PopupConfig(min_cols=4, smooth_radius=2,\n"
+            "                      nms_radius=3)\n"
+            "scfg = SlamConfig(window_size=4, max_landmarks=16,\n"
+            "                  max_det=pcfg.max_segments + 1,\n"
+            "                  kf_trans=0.0, kf_rot=0.0)\n"
+            "run = make_sharded_runner(K, pcfg, scfg, mesh,\n"
+            "                          donate=False)\n"
+            "state = slam_init(scfg, R[0], t[0])\n"
+            "state, (Re, te) = run(state, masks, oR, ot)\n"
+            "jax.block_until_ready(te)\n"
+            "assert bool(jnp.isfinite(te).all())\n"
+            "print('runner_ok')\n"
+        )
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            "PYTHONPATH": _REPO,
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/popup_slam_jax_cache",
+        })
+        p = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            capture_output=True, text=True, timeout=3000,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "runner_ok" in p.stdout, p.stdout
+        bad = [ln for ln in p.stderr.splitlines()
+               if "Involuntary full rematerialization" in ln]
+        assert not bad, f"{len(bad)} rematerialization warnings: " \
+                        f"{bad[0][:200]}"
+        return {"remat_warnings": 0}
+
+    record(
+        "sharded_runner_shardings",
+        "production runner emits zero 'Involuntary full "
+        "rematerialization' warnings",
+        check_runner_shardings,
+    )
+
     out = {
         "n_devices": n_dev,
         "ref_cost_trace": [float(c) for c in
