@@ -207,7 +207,9 @@ def _run_tum(cfg, args):
         return 2
     from .runners.tum_runner import run_tum_sequence
 
-    summary = run_tum_sequence(cfg)
+    summary = run_tum_sequence(
+        cfg, odometry=args.odometry, smooth=not args.no_smooth
+    )
     print(json.dumps(summary, indent=2))
     return 0
 
@@ -234,6 +236,14 @@ def main(argv=None):
                       help="also snapshot every N frames (0 = end only)")
     runp.add_argument("--resume", default="",
                       help="restore a --checkpoint snapshot and continue")
+    runp.add_argument("--odometry", default="gt_perturb",
+                      choices=["gt_perturb", "constant_velocity",
+                               "plane_vo"],
+                      help="pose-prior source for TUM runs "
+                           "(plane_vo = fully monocular)")
+    runp.add_argument("--no-smooth", action="store_true",
+                      help="skip the final full-trajectory smoothing "
+                           "(publish the filtering path)")
     args = parser.parse_args(argv)
 
     from .config import get_config

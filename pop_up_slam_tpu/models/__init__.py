@@ -4,6 +4,7 @@ from .segmentation import (
     create_train_state,
     train_step,
     predict_mask,
+    load_pretrained_segnet,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "create_train_state",
     "train_step",
     "predict_mask",
+    "load_pretrained_segnet",
 ]

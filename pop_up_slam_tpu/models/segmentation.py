@@ -174,6 +174,32 @@ if _HAS_FLAX:
         """rgb: (B, H, W, 3) -> (B, H, W) bool ground mask."""
         return model.apply(params, rgb) > thresh
 
+    def load_pretrained_segnet(path: str | None = None):
+        """Load the committed synthetic-trained SegNetLite checkpoint
+        (scripts/train_segnet.py; models_data/segnet_lite.npz).
+
+        The network is fully convolutional, so it runs at any
+        resolution; the checkpoint was trained at 96x128 synthetic
+        renders.  Returns (model, params, meta)."""
+        import os
+
+        import numpy as np
+
+        from ..utils.checkpoint import load_state
+
+        if path is None:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "models_data", "segnet_lite.npz",
+            )
+        model = SegNetLite()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3))
+        )
+        params, meta = load_state(path, template)
+        return model, params, meta
+
 else:  # pragma: no cover
     SegNetLite = None
 
@@ -184,4 +210,7 @@ else:  # pragma: no cover
         raise ImportError("flax/optax unavailable")
 
     def predict_mask(*a, **k):
+        raise ImportError("flax/optax unavailable")
+
+    def load_pretrained_segnet(*a, **k):
         raise ImportError("flax/optax unavailable")
