@@ -196,9 +196,10 @@ def _time_solver(window, factors, scfg, which):
 
 def _auto_solver_label(n_poses, n_landmarks):
     """Which path ``make_solve_fn('auto')`` picks at this shape (TPU)."""
-    from pop_up_slam_tpu.solver.schur import PALLAS_CROSSOVER
+    from pop_up_slam_tpu.solver.schur import PALLAS_CROSSOVER, PALLAS_MAX_N6
 
-    if 6 * n_poses * 3 * n_landmarks >= PALLAS_CROSSOVER:
+    if (6 * n_poses * 3 * n_landmarks >= PALLAS_CROSSOVER
+            and 6 * n_poses <= PALLAS_MAX_N6):
         return "auto:pallas"
     return "auto:jnp"
 
@@ -439,6 +440,13 @@ def main():
             ba_pod_iters_per_s_jnp=round(pod_jnp, 2),
             ba_pod_iters_per_s_pallas=round(pod_pal, 2),
             pod_kernel_speedup=round(pod_pal / pod_jnp, 3),
+            # Calibrated finding (scripts/calibrate_dispatch.py): at
+            # 6W=192 the Pallas kernel's serial in-register
+            # substitution sweeps outweigh its launch-fusion win and
+            # the XLA Cholesky custom call is ~10% faster — the auto
+            # dispatch therefore routes pod windows to jnp
+            # (PALLAS_MAX_N6 in solver/schur.py).
+            pod_auto_picks="jnp",
         )
         _log(f"stage F: pod window (32,256) pallas {pod_pal:.0f} / "
              f"jnp {pod_jnp:.0f} iters/s "

@@ -188,13 +188,25 @@ def cho_solve_small(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
-# Pallas-vs-jnp auto-dispatch crossover on the Schur GEMM work 6W*3L.
-# Round-4 interleaved A/B at W=8/L=64 measured the Pallas kernel 1.10x
-# faster (3074 vs 2806 it/s) even though 48*192=9216 sat below the old
-# 16384 threshold (calibrated earlier on the +-25% multi-tenant chip);
-# round-5 recalibration moves the crossover below the production
-# window so the measured-faster path is the default there.
-PALLAS_CROSSOVER = 8192
+# Pallas-Schur vs jnp auto-dispatch, calibrated round-5 on a v5e with
+# the resident interleaved A/B harness (scripts/calibrate_dispatch.py,
+# medians of 7, us per 2-iteration solve):
+#
+#     W   L   6W*3L |  jnp  pschur  fused
+#     8   64   9216 |  432    442    282   <- fused takes this shape
+#    12  128  27648 |  575    550     —
+#    16  128  36864 |  541    569     —
+#    16  256  73728 |  597    642     —
+#    32  256 147456 |  870    955     —
+#
+# The kernel wins only in a narrow band: enough Schur-GEMM work
+# (6W*3L >= ~16k) but a reduced system small enough (6W <= ~80) that
+# the in-kernel panel factorization's serial substitution sweeps stay
+# cheap; beyond that the XLA Cholesky custom call wins.  (The fused
+# whole-iteration kernel, not this dispatch, owns the production
+# window — see ops/fused_gn.py.)
+PALLAS_CROSSOVER = 16384
+PALLAS_MAX_N6 = 80
 
 
 def make_solve_fn(pallas: str = "auto"):
@@ -229,7 +241,7 @@ def make_solve_fn(pallas: str = "auto"):
     # above).  Below it the launch overhead eats the fusion win.
     def auto_fn(lin, window, damping=1e-6):
         W, L = lin.bp.shape[0], lin.bl.shape[0]
-        if 6 * W * 3 * L >= PALLAS_CROSSOVER:
+        if 6 * W * 3 * L >= PALLAS_CROSSOVER and 6 * W <= PALLAS_MAX_N6:
             return schur_reduce_pallas(lin, window, damping)
         return solve_schur(lin, window, damping)
 
