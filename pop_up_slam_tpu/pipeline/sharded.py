@@ -107,6 +107,14 @@ def make_sharded_runner(
         det = jax.vmap(
             lambda r, R, t: detections_from_popup(r, R, t, scfg.max_det)
         )(res, pred_R, pred_t)
+        # The detections leave the DP front-end frame-sharded but feed
+        # the *sequential* replicated back-end scan: make the
+        # all-gather explicit (one collective for the whole block)
+        # instead of letting the partitioner re-materialize per scan
+        # step (the SPMD warnings multichip_check.py greps for).
+        det = jax.lax.with_sharding_constraint(
+            det, NamedSharding(mesh, P())
+        )
 
         # 3. sequential SLAM with the factor-sharded BA
         def frame(st, inp):
