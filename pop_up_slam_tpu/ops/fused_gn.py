@@ -36,6 +36,16 @@ gathers and scatter-adds are MXU matmuls:
   chol_solve_body` (the round-4 panel-blocked factorize+solve) on the
   in-register S
 
+**Even the input/output packing happens in-kernel** (round-5 rev 2):
+the kernel takes the solver state and factor arrays in (entity, comp)
+row-major 2-D form — free reshapes of the live buffers — and builds
+the lane layout itself with iota-placed transpose matmuls
+(``entity-sublane x comp-lane  @  iota-one-hot  ->  comp-row x
+entity-lane``).  The first revision packed lanes with ~30 tiny XLA ops
+before the launch, which measured ~100 us — half the solve time — on
+the latency-bound chip; in-kernel packing collapses that to a handful
+of sub-microsecond MXU ops inside the one launch.
+
 The kernel body (:func:`fused_gn_iterations`) is PURE jnp on 2-D
 arrays, so exactly the same code runs (a) inside the Pallas kernel on
 TPU, (b) under Pallas interpret mode, and (c) as a plain XLA program
@@ -64,12 +74,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..factors.graph import Factors, Window
 from ..factors.robust import RobustConfig
-from ..geometry import plane as plane_mod
 from . import soa_math as sm
 from .cholesky_pallas import chol_solve_body
 
 _LANE = 128
 _N3 = 256          # padded 3L column space of Hpl / W_exp
+_OLANE = 64        # pose-factor (odom + prior) lane capacity
 
 
 def fused_gn_supported(W: int, L: int, F: int, O: int, P: int) -> bool:
@@ -78,7 +88,7 @@ def fused_gn_supported(W: int, L: int, F: int, O: int, P: int) -> bool:
         6 * W <= _LANE
         and 3 * L <= _N3
         and F <= _LANE
-        and O + P <= 64
+        and O + P <= _OLANE
         and W + P <= _LANE
     )
 
@@ -131,53 +141,158 @@ def _iota_eq(shape, fn):
     return fn(r, c).astype(jnp.float32)
 
 
+def _lane_eq(n: int, off: int, lanes: int = _LANE):
+    """(n, lanes) placer: [r, lane] = (lane == off + r)."""
+    return _iota_eq((n, lanes), lambda r, c: c == off + r)
+
+
+def _dT(M, EQ):
+    """(n, k) entity-major block -> (k, lanes) comp rows, entities
+    placed on lanes by the iota one-hot ``EQ`` (n, lanes)."""
+    return _dot(M, EQ, dims=((0,), (0,)))
+
+
+def _rowT(I, row):
+    """(1, lanes) row -> (lanes, 1) column via the identity dot."""
+    return _dot(I, row, dims=((1,), (1,)))
+
+
 # ---------------------------------------------------------------------------
 # the kernel body (pure jnp — runs in and out of Pallas)
 # ---------------------------------------------------------------------------
 
 
-def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
-                        *, dims, iters, robust: RobustConfig):
-    """K fused GN iterations.  All arrays f32/(int32) in the packed
-    lane layout of :func:`_pack_inputs`; ``lam`` a scalar; ``dims`` the
-    static (W, L, F, OP) true sizes.  Returns (state16, cost_row)."""
-    W, L, F, OP = dims
+def fused_gn_iterations(
+    R2, tW, PL,
+    prR, prt, prA,
+    pfpi, pfA,
+    odR, odt, odA,
+    BOOLS, IDX,
+    lam, *, dims, iters, robust: RobustConfig,
+):
+    """K fused GN iterations on raw (entity, comp) 2-D blocks.
+
+    All lane packing happens here (in-kernel when wrapped by Pallas):
+    iota-placed transpose matmuls move each block to comp-row x
+    entity-lane layout.  ``BOOLS`` is the concatenated 0/1 column
+    [pose_valid(W); pose_fixed(W); lm_valid(L); pf_valid(F);
+    od_valid(O); prior_valid(P)]; ``IDX`` the concatenated int32
+    column [pf_pose(F); pf_lm(F); od_i(O); od_j(O); prior_idx(P)]
+    (out-of-range indices simply never match an iota placement, which
+    is equivalent to the masked-out semantics).  ``lam`` a scalar;
+    ``dims`` the static (W, L, F, O, P) true sizes.  Returns
+    (out_pose (128, 12) rows = pose lanes, cols = [R row-major 9 |
+    t 3]; out_plane (128, 4); cost_row (1, 128))."""
+    W, L, F, O, P = dims
+    OP = O + P
     n6 = 6 * W
     RP = _pad8(3 * F)        # stacked plane-factor row count
     RO = _pad8(6 * OP)       # stacked pose-factor row count
     f32 = jnp.float32
 
-    # ---- loop-invariant wiring (one-hots from factor indices) ----
-    pose_idx_row = pidx[0:1, :]
-    lm_idx_row = pidx[1:2, :]
-    oi_row = pidx[2:3, :]
-    oj_row = pidx[3:4, :]
-    pose_col = cidx[:, 0:1]
-    lm_col = cidx[:, 1:2]
-    oi_col = cidx[:, 2:3]
-    oj_col = cidx[:, 3:4]
-    ispr_col = cidx[:, 4:5]
+    # ---- in-kernel packing: entity blocks -> comp rows on lanes ----
+    EQ_W = _lane_eq(W, 0)
+    EQ_PW = _lane_eq(P, W)
+    EQ_L = _lane_eq(L, 0)
+    EQ_F = _lane_eq(F, 0)
+    EQ_O = _lane_eq(O, 0)
+    EQ_PO = _lane_eq(P, O)
+
+    # slice the concatenated mask / index columns (static offsets)
+    pval = BOOLS[0:W, :]
+    pfix = BOOLS[W:2 * W, :]
+    lmv = BOOLS[2 * W:2 * W + L, :]
+    pfv = BOOLS[2 * W + L:2 * W + L + F, :]
+    odv = BOOLS[2 * W + L + F:2 * W + L + F + O, :]
+    prv = BOOLS[2 * W + L + F + O:2 * W + L + F + O + P, :]
+    pfpose = IDX[0:F, :]
+    pflm = IDX[F:2 * F, :]
+    odi = IDX[2 * F:2 * F + O, :]
+    odj = IDX[2 * F + O:2 * F + 2 * O, :]
+    pridx = IDX[2 * F + 2 * O:2 * F + 2 * O + P, :]
+
+    poseR = _dT(R2, EQ_W) + _dT(prR, EQ_PW)              # (9, 128)
+    poset = _dT(tW, EQ_W) + _dT(prt, EQ_PW)              # (3, 128)
+    planeT = _dT(PL, EQ_L)                               # (4, 128)
+    state = jnp.concatenate([poseR, poset, planeT], axis=0)  # (16, 128)
+
+    free_row = _dT(pval, EQ_W) * (1.0 - _dT(pfix, EQ_W))  # (1, 128)
+    lmv_row = _dT(lmv, EQ_L)
 
     row128 = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
     col128 = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
     I128 = (row128 == col128).astype(f32)
+    row128f = row128.astype(f32)
+    col128f = col128.astype(f32)
 
-    POSE2PF = (row128 == pose_idx_row).astype(f32)   # [p, f]
-    LM2PF = (row128 == lm_idx_row).astype(f32)       # [l, f]
-    P2OI = (row128 == oi_row).astype(f32)            # [p, o]
-    P2OJ = (row128 == oj_row).astype(f32)            # [p, o]
-    PF2LM = (col128 == lm_col).astype(f32)           # [f, l]
+    # pm6[c] = free[c // 6] for c < 6W
+    M6 = _iota_eq(
+        (_LANE, _LANE),
+        lambda r, c: (c >= 6 * r) & (c < 6 * r + 6) & (c < 6 * W)
+        & (r < W),
+    )
+    pm_row = _dot(free_row, M6)                           # (1, 128)
+    pm_col = _rowT(I128, pm_row)                          # (128, 1)
 
-    CB_POSE = [(col128 == 6 * pose_col + b).astype(f32) for b in range(6)]
+    # plane-factor measurement channels (hessian-normal form)
+    pimT = _dT(pfpi, EQ_F)                                # (4, 128)
+    n_raw = [pimT[i:i + 1, :] for i in range(3)]
+    nn = jnp.maximum(
+        jnp.sqrt(sm.vdot(n_raw, n_raw)), 1e-9
+    )                                                     # plane._EPS
+    nm0 = [x / nn for x in n_raw]
+    dm0 = pimT[3:4, :] / nn
+    AT3 = _dT(pfA, EQ_F)                                  # (9, 128)
+    A3 = [[AT3[3 * i + j:3 * i + j + 1, :] for j in range(3)]
+          for i in range(3)]
+    pvalid = _dT(pfv, EQ_F) > 0.5
+
+    # odom + prior lanes
+    prior_lane = jnp.sum(EQ_PO, axis=0, keepdims=True)    # (1, 128)
+    RmT = _dT(odR, EQ_O)                                  # (9, 128)
+    Rm = [[RmT[3 * i + j:3 * i + j + 1, :]
+           + (prior_lane if i == j else 0.0) for j in range(3)]
+          for i in range(3)]
+    tmT = _dT(odt, EQ_O)
+    tm = [tmT[i:i + 1, :] for i in range(3)]
+    AT6 = _dT(odA, EQ_O) + _dT(prA, EQ_PO)                # (36, 128)
+    A6 = [[AT6[6 * i + j:6 * i + j + 1, :] for j in range(6)]
+          for i in range(6)]
+    ovalid = (_dT(odv, EQ_O) + _dT(prv, EQ_PO)) > 0.5
+    isprior = prior_lane > 0.5
+
+    # wiring (f32 index rows/cols — values < 2^24, exact)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1).astype(f32)
+    posef = _dT(pfpose.astype(f32), EQ_F)                 # (1, 128)
+    lmf = _dT(pflm.astype(f32), EQ_F)
+    oif = _dT(odi.astype(f32), EQ_O) \
+        + prior_lane * (lane_f - float(O) + float(W))
+    ojf = _dT(odj.astype(f32), EQ_O) \
+        + _dT(pridx.astype(f32), EQ_PO)
+    pose_col = _rowT(I128, posef)                         # (128, 1)
+    lm_col = _rowT(I128, lmf)
+    oi_col = _rowT(I128, oif)
+    oj_col = _rowT(I128, ojf)
+    notpr_col = 1.0 - _rowT(I128, prior_lane)
+
+    POSE2PF = (row128f == posef).astype(f32)              # [p, f]
+    LM2PF = (row128f == lmf).astype(f32)                  # [l, f]
+    P2OI = (row128f == oif).astype(f32)                   # [p, o]
+    P2OJ = (row128f == ojf).astype(f32)                   # [p, o]
+    PF2LM = (col128f == lm_col).astype(f32)               # [f, l]
+
+    CB_POSE = [(col128f == 6.0 * pose_col + b).astype(f32)
+               for b in range(6)]
     # prior lanes place no J_i block (the "i" side is the constant
     # prior mean, not a variable)
-    not_prior = (ispr_col == 0)
-    CB_OI = [((col128 == 6 * oi_col + b) & not_prior).astype(f32)
+    CB_OI = [((col128f == 6.0 * oi_col + b) * notpr_col).astype(f32)
              for b in range(6)]
-    CB_OJ = [(col128 == 6 * oj_col + b).astype(f32) for b in range(6)]
+    CB_OJ = [(col128f == 6.0 * oj_col + b).astype(f32) for b in range(6)]
 
-    colN3 = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _N3), 1)
-    CB_LM = [(colN3 == 3 * lm_col + c).astype(f32) for c in range(3)]
+    colN3 = jax.lax.broadcasted_iota(
+        jnp.int32, (_LANE, _N3), 1
+    ).astype(f32)
+    CB_LM = [(colN3 == 3.0 * lm_col + c).astype(f32) for c in range(3)]
 
     EXP_A = [_iota_eq((RP, _LANE), lambda r, c, a=a: r == 3 * c + a)
              for a in range(3)]
@@ -196,31 +311,10 @@ def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
     SEL_LM = [_iota_eq((_N3, _LANE), lambda r, c, c3=c3: r == 3 * c + c3)
               for c3 in range(3)]
 
-    free_row = masks[0:1, :]
-    lmv_row = masks[1:2, :]
-    pm_row = masks[2:3, :]                            # (1, 128) pm6
-    pm_col = _dot(I128, pm_row, dims=((1,), (1,)))    # (128, 1)
     lmv3_row = sum(_dot(lmv_row, EC_LM[c]) for c in range(3))  # (1, N3)
-
-    # plane-factor measurement channels (constant across iterations)
-    nm0 = [pfac[i:i + 1, :] for i in range(3)]
-    dm0 = pfac[3:4, :]
-    A3 = [[pfac[4 + 3 * i + j:5 + 3 * i + j, :] for j in range(3)]
-          for i in range(3)]
-    pvalid = pfac[13:14, :] > 0.5
-
-    Rm = [[ofac[3 * i + j:3 * i + j + 1, :] for j in range(3)]
-          for i in range(3)]
-    tm = [ofac[9 + i:10 + i, :] for i in range(3)]
-    A6 = [[ofac[12 + 6 * i + j:13 + 6 * i + j, :] for j in range(6)]
-          for i in range(6)]
-    ovalid = ofac[48:49, :] > 0.5
-    isprior = ofac[49:50, :] > 0.5
 
     costcol = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
     cost_row = jnp.zeros((1, _LANE), f32)
-
-    state = state0
 
     def wmask(cond, x):
         return jnp.where(cond, x, 0.0)
@@ -416,12 +510,12 @@ def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
             axis=0,
         )                                                # (9, 128)
         HllL = _dot(hll, PF2LM)                          # (9, 128)
-        lmv = lmv_row > 0.5
+        lmvb = lmv_row > 0.5
         Hd = [[HllL[3 * a + b:3 * a + b + 1, :]
                + (lam if a == b else 0.0) for b in range(3)]
               for a in range(3)]
         eye3 = sm.meye(3, HllL[0:1, :])
-        Hd = [[jnp.where(lmv, Hd[a][b], eye3[a][b]) for b in range(3)]
+        Hd = [[jnp.where(lmvb, Hd[a][b], eye3[a][b]) for b in range(3)]
               for a in range(3)]
 
         # closed-form adjugate inverse (solver.schur.inv3x3 semantics)
@@ -496,7 +590,7 @@ def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
             for i in range(4)
         ]
         pi_n = sm.plane_normalize_soa(pi_n)
-        pi_n = sm.vwhere(lmv, pi_n, pi_c)
+        pi_n = sm.vwhere(lmvb, pi_n, pi_c)
 
         state = jnp.concatenate(
             [Rn[i][j] for i in range(3) for j in range(3)]
@@ -507,7 +601,10 @@ def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
         cost_it = 0.5 * (cost_pl + cost_o)
         cost_row = cost_row + jnp.where(costcol == it, cost_it, 0.0)
 
-    return state, cost_row
+    # ---- in-kernel unpacking: comp rows -> entity-major blocks ----
+    out_pose = _dot(I128, state[0:12, :], dims=((1,), (1,)))  # (128, 12)
+    out_plane = _dot(I128, state[12:16, :], dims=((1,), (1,)))  # (128, 4)
+    return out_pose, out_plane, cost_row
 
 
 # ---------------------------------------------------------------------------
@@ -515,19 +612,28 @@ def fused_gn_iterations(state0, pfac, ofac, pidx, cidx, masks, lam,
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(state_ref, pfac_ref, ofac_ref, pidx_ref, cidx_ref,
-                  masks_ref, lam_ref, out_state_ref, out_cost_ref,
+def _fused_kernel(R2, tW, PL, prR, prt, prA, pfpi, pfA,
+                  odR, odt, odA, BOOLS, IDX,
+                  lam_ref, out_pose_ref, out_plane_ref, out_cost_ref,
                   *, dims, iters, robust):
-    state, cost = fused_gn_iterations(
-        state_ref[:], pfac_ref[:], ofac_ref[:], pidx_ref[:], cidx_ref[:],
-        masks_ref[:], lam_ref[0, 0], dims=dims, iters=iters, robust=robust,
+    out_pose, out_plane, cost = fused_gn_iterations(
+        R2[:], tW[:], PL[:], prR[:], prt[:], prA[:], pfpi[:], pfA[:],
+        odR[:], odt[:], odA[:], BOOLS[:], IDX[:],
+        lam_ref[0, 0], dims=dims, iters=iters, robust=robust,
     )
-    out_state_ref[:] = state
+    out_pose_ref[:] = out_pose
+    out_plane_ref[:] = out_plane
     out_cost_ref[:] = cost
 
 
 def _pack_inputs(window: Window, factors: Factors):
-    """Lane-layout packing of the window + factor data (cheap XLA)."""
+    """Raw (entity, comp) 2-D views of the state + factor buffers.
+
+    Reshapes only, plus ONE concatenated bool->f32 cast and ONE
+    concatenated index column — the round-5 profile showed the
+    original per-array packing (~30 tiny XLA ops) costing ~100 us on
+    the latency-bound chip, half the fused solve; everything else now
+    happens inside the kernel."""
     f32 = jnp.float32
     W, L = window.window_size, window.max_landmarks
     od, pf, pr = factors.odom, factors.planes, factors.priors
@@ -535,75 +641,39 @@ def _pack_inputs(window: Window, factors: Factors):
     O = od.valid.shape[0]
     P = pr.valid.shape[0]
 
-    state0 = jnp.zeros((16, _LANE), f32)
-    state0 = state0.at[0:9, :W].set(window.R.reshape(W, 9).T)
-    state0 = state0.at[0:9, W:W + P].set(pr.R.reshape(P, 9).T)
-    state0 = state0.at[9:12, :W].set(window.t.T)
-    state0 = state0.at[9:12, W:W + P].set(pr.t.T)
-    state0 = state0.at[12:16, :L].set(window.planes.T.astype(f32))
+    bools = jnp.concatenate(
+        [window.pose_valid, window.pose_fixed, window.lm_valid,
+         pf.valid, od.valid, pr.valid]
+    ).astype(f32).reshape(-1, 1)
+    idx = jnp.concatenate(
+        [pf.pose_idx, pf.lm_idx, od.i, od.j, pr.idx]
+    ).astype(jnp.int32).reshape(-1, 1)
 
-    n_m, d_m = plane_mod.to_hessian_normal(pf.pi_meas)
-    pfac = jnp.zeros((16, _LANE), f32)
-    pfac = pfac.at[0:3, :F].set(n_m.T)
-    pfac = pfac.at[3, :F].set(d_m)
-    pfac = pfac.at[4:13, :F].set(pf.sqrt_info.reshape(F, 9).T)
-    pfac = pfac.at[13, :F].set(pf.valid.astype(f32))
-
-    eyeP = jnp.broadcast_to(jnp.eye(3, dtype=f32), (P, 3, 3))
-    ofac = jnp.zeros((56, _LANE), f32)
-    ofac = ofac.at[0:9, :O].set(od.R_meas.reshape(O, 9).T)
-    ofac = ofac.at[0:9, O:O + P].set(eyeP.reshape(P, 9).T)
-    ofac = ofac.at[9:12, :O].set(od.t_meas.T)
-    ofac = ofac.at[12:48, :O].set(od.sqrt_info.reshape(O, 36).T)
-    ofac = ofac.at[12:48, O:O + P].set(pr.sqrt_info.reshape(P, 36).T)
-    ofac = ofac.at[48, :O].set(od.valid.astype(f32))
-    ofac = ofac.at[48, O:O + P].set(pr.valid.astype(f32))
-    ofac = ofac.at[49, O:O + P].set(1.0)
-
-    pose_idx = jnp.clip(pf.pose_idx, 0, W - 1).astype(jnp.int32)
-    lm_idx = jnp.clip(pf.lm_idx, 0, L - 1).astype(jnp.int32)
-    oi = jnp.concatenate(
-        [jnp.clip(od.i, 0, W - 1),
-         W + jnp.arange(P, dtype=jnp.int32)]
-    ).astype(jnp.int32)
-    oj = jnp.concatenate(
-        [jnp.clip(od.j, 0, W - 1), jnp.clip(pr.idx, 0, W - 1)]
-    ).astype(jnp.int32)
-    ispr = jnp.concatenate(
-        [jnp.zeros((O,), jnp.int32), jnp.ones((P,), jnp.int32)]
+    args = (
+        window.R.reshape(W, 9).astype(f32),
+        window.t.astype(f32),
+        window.planes.astype(f32),
+        pr.R.reshape(P, 9).astype(f32),
+        pr.t.astype(f32),
+        pr.sqrt_info.reshape(P, 36).astype(f32),
+        pf.pi_meas.astype(f32),
+        pf.sqrt_info.reshape(F, 9).astype(f32),
+        od.R_meas.reshape(O, 9).astype(f32),
+        od.t_meas.astype(f32),
+        od.sqrt_info.reshape(O, 36).astype(f32),
+        bools,
+        idx,
     )
-
-    pidx = jnp.zeros((8, _LANE), jnp.int32)
-    pidx = pidx.at[0, :F].set(pose_idx)
-    pidx = pidx.at[1, :F].set(lm_idx)
-    pidx = pidx.at[2, :O + P].set(oi)
-    pidx = pidx.at[3, :O + P].set(oj)
-
-    cidx = jnp.zeros((_LANE, 8), jnp.int32)
-    cidx = cidx.at[:F, 0].set(pose_idx)
-    cidx = cidx.at[:F, 1].set(lm_idx)
-    cidx = cidx.at[:O + P, 2].set(oi)
-    cidx = cidx.at[:O + P, 3].set(oj)
-    cidx = cidx.at[:O + P, 4].set(ispr)
-
-    free = (window.pose_valid & (~window.pose_fixed)).astype(f32)
-    masks = jnp.zeros((8, _LANE), f32)
-    masks = masks.at[0, :W].set(free)
-    masks = masks.at[1, :L].set(window.lm_valid.astype(f32))
-    masks = masks.at[2, :6 * W].set(jnp.repeat(free, 6))
-
-    dims = (W, L, F, O + P)
-    return state0, pfac, ofac, pidx, cidx, masks, dims
+    return args, (W, L, F, O, P)
 
 
-def _unpack_window(window: Window, state16):
+def _unpack_window(window: Window, out_pose, out_plane):
     W, L = window.window_size, window.max_landmarks
-    R = state16[0:9, :W].T.reshape(W, 3, 3)
-    t = state16[9:12, :W].T
-    planes = state16[12:16, :L].T
     dtype = window.t.dtype
     return window._replace(
-        R=R.astype(dtype), t=t.astype(dtype), planes=planes.astype(dtype)
+        R=out_pose[:W, :9].reshape(W, 3, 3).astype(dtype),
+        t=out_pose[:W, 9:12].astype(dtype),
+        planes=out_plane[:L, :].astype(dtype),
     )
 
 
@@ -633,38 +703,31 @@ def fused_gn_solve(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    state0, pfac, ofac, pidx, cidx, masks, dims = _pack_inputs(
-        window, factors
-    )
+    args, dims = _pack_inputs(window, factors)
     lam = jnp.asarray(damping, jnp.float32)
 
     if use_pallas:
-        state16, cost_row = pl.pallas_call(
+        n_in = len(args)
+        out_pose, out_plane, cost_row = pl.pallas_call(
             functools.partial(_fused_kernel, dims=dims, iters=iters,
                               robust=robust),
             out_shape=(
-                jax.ShapeDtypeStruct((16, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((_LANE, 12), jnp.float32),
+                jax.ShapeDtypeStruct((_LANE, 4), jnp.float32),
                 jax.ShapeDtypeStruct((1, _LANE), jnp.float32),
             ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(state0, pfac, ofac, pidx, cidx, masks, lam.reshape(1, 1))
+        )(*args, lam.reshape(1, 1))
     else:
-        state16, cost_row = fused_gn_iterations(
-            state0, pfac, ofac, pidx, cidx, masks, lam,
-            dims=dims, iters=iters, robust=robust,
+        out_pose, out_plane, cost_row = fused_gn_iterations(
+            *args, lam, dims=dims, iters=iters, robust=robust,
         )
 
-    return _unpack_window(window, state16), cost_row[0, :iters]
+    return _unpack_window(window, out_pose, out_plane), cost_row[0, :iters]
