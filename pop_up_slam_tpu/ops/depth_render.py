@@ -48,8 +48,14 @@ def _make_kernel(S: int, big: float):
         wall_h = p_ref[21]
 
         v0 = (i * th).astype(jnp.float32)
-        vv = v0 + jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
-        uu = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+        # Mosaic's tpu.iota is integer-only — build int32 and cast
+        # (a float iota verifies on older lowerings but not current).
+        vv = v0 + jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw), 0
+        ).astype(jnp.float32)
+        uu = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw), 1
+        ).astype(jnp.float32)
 
         rx = (uu - cx) / fx
         ry = (vv - cy) / fy
