@@ -423,6 +423,29 @@ def main():
     _publish(monocular_vo_frames_per_s=round(max(vo_fps), 2))
     _log(f"stage E: monocular VO {max(vo_fps):.1f} frames/s")
 
+    # --- Stage B2: batched-front-end runner — every chunk's pop-ups
+    # vmapped at dead-reckoned (stale-prediction) poses, the DP
+    # production mode (pipeline/batched.py; trajectory within ~2 cm of
+    # the exact chunked runner, tests/test_batched.py).  Extra metric.
+    if _BUDGET_S - (time.monotonic() - _T0) > 200:
+        from pop_up_slam_tpu.pipeline.batched import make_batched_runner
+
+        runb = make_batched_runner(K, pcfg, scfg, donate=True)
+        stb = slam_init(scfg, R0, t0_)
+        stb, outb = runb(stb, mc[0], oc[0], tc[0])
+        jax.block_until_ready(outb)
+        bat_fps = []
+        for p in range(2):
+            t0 = time.perf_counter()
+            for c in range(1, N_CHUNKS):
+                stb, outb = runb(stb, mc[c], oc[c], tc[c])
+            jax.block_until_ready(outb)
+            bat_fps.append(
+                (N_CHUNKS - 1) * CHUNK / (time.perf_counter() - t0)
+            )
+        _publish(batched_frames_per_s=round(max(bat_fps), 2))
+        _log(f"stage B2: batched front-end {max(bat_fps):.1f} frames/s")
+
     # --- Stage F: pod-window BA row (W=32, L=256) — the scale where
     # the panel Cholesky + Schur GEMM should dominate (round-4 VERDICT
     # weak #8: everything was calibrated at toy scale) ---
