@@ -167,8 +167,9 @@ def fused_gn_iterations(
     prR, prt, prA,
     pfpi, pfA,
     odR, odt, odA,
-    BOOLS, IDX,
+    BOOLS, IDX, MARG,
     lam, *, dims, iters, robust: RobustConfig,
+    fuse_marg: bool = False, marg_static=None,
 ):
     """K fused GN iterations on raw (entity, comp) 2-D blocks.
 
@@ -260,6 +261,95 @@ def fused_gn_iterations(
           for i in range(6)]
     ovalid = (_dT(odv, EQ_O) + _dT(prv, EQ_PO)) > 0.5
     isprior = prior_lane > 0.5
+
+    # ---- fused exiting-keyframe marginalization (pipeline/slam.py
+    # _marginalize_oldest, computed in-kernel on a single "lane" of
+    # (1,1) scalars — the host-side chain was ~85 us of serial tiny
+    # ops per keyframe).  Folds the pre-roll slot-0 prior + exiting
+    # odometry factor into a 6-DOF marginal sqrt-info; when the
+    # window-full flag is set, the solve's prior lane uses the new
+    # marginal (mean = pre-roll slot-1 pose), else the old prior.
+    out_marg = jnp.zeros((8, _LANE), f32)
+    if fuse_marg:
+        adiag, eps_m, floor_m = marg_static
+        g = lambda r, k: MARG[r:r + 1, k:k + 1]           # noqa: E731
+        R0n = [[g(0, 3 * i + j) for j in range(3)] for i in range(3)]
+        t0n = [g(0, 9 + i) for i in range(3)]
+        R1n = [[g(1, 3 * i + j) for j in range(3)] for i in range(3)]
+        t1n = [g(1, 9 + i) for i in range(3)]
+        Rmn = [[g(2, 3 * i + j) for j in range(3)] for i in range(3)]
+        tmn = [g(2, 9 + i) for i in range(3)]
+        ov0 = g(3, 0)
+        fullf = g(3, 1)
+        prRo = [[g(4, 3 * i + j) for j in range(3)] for i in range(3)]
+        prto = [g(4, 9 + i) for i in range(3)]
+        prAo = [[g(5 + (6 * i + j) // 16, (6 * i + j) % 16)
+                 for j in range(6)] for i in range(6)]
+
+        A_o = [[jnp.full((1, 1), adiag[i], f32) if i == j
+                else jnp.zeros((1, 1), f32) for j in range(6)]
+               for i in range(6)]
+        Rr, tr = sm.se3_between_soa(R0n, t0n, R1n, t1n)
+        Re, te = sm.se3_between_soa(Rmn, tmn, Rr, tr)
+        rh0, ph0 = sm.se3_log_soa(Re, te)
+        AJm = sm.mmul(A_o, sm.se3_right_jacobian_inv_soa(rh0, ph0))
+        R10, t10 = sm.se3_between_soa(R1n, t1n, R0n, t0n)
+        Adm = sm.se3_adjoint_soa(R10, t10)
+        ovb = ov0 > 0.5
+        J0m = [[jnp.where(ovb, x, 0.0) for x in row]
+               for row in sm.mscale(sm.mmul(AJm, Adm), -1.0)]
+        J1m = [[jnp.where(ovb, x, 0.0) for x in row] for row in AJm]
+
+        Rpe, tpe = sm.se3_between_soa(prRo, prto, R0n, t0n)
+        rhp, php = sm.se3_log_soa(Rpe, tpe)
+        Jqm = sm.mmul(prAo, sm.se3_right_jacobian_inv_soa(rhp, php))
+
+        H00 = sm.madd(sm.mmul(sm.mT(J0m), J0m),
+                      sm.mmul(sm.mT(Jqm), Jqm))
+        H00 = [[H00[i][j] + (eps_m if i == j else 0.0)
+                for j in range(6)] for i in range(6)]
+        H01 = sm.mmul(sm.mT(J0m), J1m)
+        H11 = sm.mmul(sm.mT(J1m), J1m)
+        Hm = sm.msub(
+            H11, sm.mmul(sm.mmul(sm.mT(H01), sm.spd_inv6_soa(H00)), H01)
+        )
+        Hm = [[0.5 * (Hm[i][j] + Hm[j][i])
+               + (floor_m if i == j else 0.0)
+               for j in range(6)] for i in range(6)]
+        Lm = sm.chol_lower_soa(Hm, 6)
+        sqrt_new = [[Lm[j][i] for j in range(6)] for i in range(6)]
+
+        # selection by the (traced) window-full flag
+        Asel = [[fullf * sqrt_new[i][j] + (1.0 - fullf) * prAo[i][j]
+                 for j in range(6)] for i in range(6)]
+        Rsel = [[fullf * R1n[i][j] + (1.0 - fullf) * prRo[i][j]
+                 for j in range(3)] for i in range(3)]
+        tsel = [fullf * t1n[i] + (1.0 - fullf) * prto[i]
+                for i in range(3)]
+
+        # override the prior lane(s): whitening + mean
+        A6 = [[A6[i][j] * (1.0 - prior_lane) + Asel[i][j] * prior_lane
+               for j in range(6)] for i in range(6)]
+        laneW = jnp.sum(EQ_PW, axis=0, keepdims=True)      # (1, 128)
+        poseR = jnp.concatenate(
+            [poseR[3 * i + j:3 * i + j + 1, :] * (1.0 - laneW)
+             + Rsel[i][j] * laneW
+             for i in range(3) for j in range(3)], axis=0,
+        )
+        poset = jnp.concatenate(
+            [poset[i:i + 1, :] * (1.0 - laneW) + tsel[i] * laneW
+             for i in range(3)], axis=0,
+        )
+        state = jnp.concatenate([poseR, poset, planeT], axis=0)
+
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+        onehot = [(li == j).astype(f32) for j in range(6)]
+        out_marg = jnp.concatenate(
+            [sum(sqrt_new[i][j] * onehot[j] for j in range(6))
+             for i in range(6)]
+            + [jnp.zeros((2, _LANE), f32)],
+            axis=0,
+        )
 
     # wiring (f32 index rows/cols — values < 2^24, exact)
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1).astype(f32)
@@ -604,7 +694,7 @@ def fused_gn_iterations(
     # ---- in-kernel unpacking: comp rows -> entity-major blocks ----
     out_pose = _dot(I128, state[0:12, :], dims=((1,), (1,)))  # (128, 12)
     out_plane = _dot(I128, state[12:16, :], dims=((1,), (1,)))  # (128, 4)
-    return out_pose, out_plane, cost_row
+    return out_pose, out_plane, cost_row, out_marg
 
 
 # ---------------------------------------------------------------------------
@@ -613,17 +703,20 @@ def fused_gn_iterations(
 
 
 def _fused_kernel(R2, tW, PL, prR, prt, prA, pfpi, pfA,
-                  odR, odt, odA, BOOLS, IDX,
+                  odR, odt, odA, BOOLS, IDX, MARG,
                   lam_ref, out_pose_ref, out_plane_ref, out_cost_ref,
-                  *, dims, iters, robust):
-    out_pose, out_plane, cost = fused_gn_iterations(
+                  out_marg_ref, *, dims, iters, robust, fuse_marg,
+                  marg_static):
+    out_pose, out_plane, cost, out_marg = fused_gn_iterations(
         R2[:], tW[:], PL[:], prR[:], prt[:], prA[:], pfpi[:], pfA[:],
-        odR[:], odt[:], odA[:], BOOLS[:], IDX[:],
+        odR[:], odt[:], odA[:], BOOLS[:], IDX[:], MARG[:],
         lam_ref[0, 0], dims=dims, iters=iters, robust=robust,
+        fuse_marg=fuse_marg, marg_static=marg_static,
     )
     out_pose_ref[:] = out_pose
     out_plane_ref[:] = out_plane
     out_cost_ref[:] = cost
+    out_marg_ref[:] = out_marg
 
 
 def _pack_inputs(window: Window, factors: Factors):
@@ -677,6 +770,28 @@ def _unpack_window(window: Window, out_pose, out_plane):
     )
 
 
+def pack_marg(R0, t0, R1, t1, odom_R0, odom_t0, odom_valid0,
+              mprior_R, mprior_t, mprior_sqrt, full):
+    """Build the (8, 16) MARG block for the fused exiting-keyframe
+    marginalization: pre-roll slot-0/slot-1 poses, the exiting odometry
+    measurement, the OLD slot-0 prior, and the (traced) window-full
+    flag that selects new-marginal vs old prior inside the kernel."""
+    f32 = jnp.float32
+    z4 = jnp.zeros((4,), f32)
+    row0 = jnp.concatenate([R0.reshape(9), t0, z4]).astype(f32)
+    row1 = jnp.concatenate([R1.reshape(9), t1, z4]).astype(f32)
+    row2 = jnp.concatenate([odom_R0.reshape(9), odom_t0, z4]).astype(f32)
+    row3 = jnp.zeros((16,), f32).at[0].set(
+        odom_valid0.astype(f32)
+    ).at[1].set(jnp.asarray(full, f32))
+    row4 = jnp.concatenate([mprior_R.reshape(9), mprior_t, z4]).astype(f32)
+    a = mprior_sqrt.reshape(36).astype(f32)
+    row5 = a[0:16]
+    row6 = a[16:32]
+    row7 = jnp.concatenate([a[32:36], jnp.zeros((12,), f32)])
+    return jnp.stack([row0, row1, row2, row3, row4, row5, row6, row7])
+
+
 def fused_gn_solve(
     window: Window,
     factors: Factors,
@@ -685,12 +800,21 @@ def fused_gn_solve(
     robust: RobustConfig | None = None,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
+    marg=None,
+    marg_static=None,
 ):
     """Drop-in replacement for ``gn_solve`` at fused-supported shapes.
 
     Returns (window_opt, costs (iters,)) — ``costs[k]`` is the
     robustified objective at the k-th linearization point (the same
     series ``gn_solve``'s ``cost_history[:-1]`` reports).
+
+    With ``marg`` (an (8, 16) block from :func:`pack_marg`) and
+    ``marg_static`` ((adiag 6-tuple, eps, floor), static), the kernel
+    additionally computes the exiting-keyframe marginal prior
+    in-kernel, uses it for the prior lane when the window-full flag is
+    set, and the return becomes (window_opt, costs, m_sqrt (6, 6)).
+    Requires exactly one prior factor.
 
     ``use_pallas=None`` auto-selects: the single-launch kernel on TPU,
     the identical pure-jnp body elsewhere (the body IS the kernel body,
@@ -702,19 +826,28 @@ def fused_gn_solve(
         use_pallas = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    fuse_marg = marg is not None
+    if fuse_marg:
+        assert factors.priors.valid.shape[0] == 1, (
+            "fused marginalization needs exactly one prior factor"
+        )
+        assert marg_static is not None
 
     args, dims = _pack_inputs(window, factors)
     lam = jnp.asarray(damping, jnp.float32)
+    MARG = marg if fuse_marg else jnp.zeros((8, 16), jnp.float32)
 
     if use_pallas:
-        n_in = len(args)
-        out_pose, out_plane, cost_row = pl.pallas_call(
+        n_in = len(args) + 1
+        out_pose, out_plane, cost_row, out_marg = pl.pallas_call(
             functools.partial(_fused_kernel, dims=dims, iters=iters,
-                              robust=robust),
+                              robust=robust, fuse_marg=fuse_marg,
+                              marg_static=marg_static),
             out_shape=(
                 jax.ShapeDtypeStruct((_LANE, 12), jnp.float32),
                 jax.ShapeDtypeStruct((_LANE, 4), jnp.float32),
                 jax.ShapeDtypeStruct((1, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -722,12 +855,18 @@ def fused_gn_solve(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(*args, lam.reshape(1, 1))
+        )(*args, MARG, lam.reshape(1, 1))
     else:
-        out_pose, out_plane, cost_row = fused_gn_iterations(
-            *args, lam, dims=dims, iters=iters, robust=robust,
+        out_pose, out_plane, cost_row, out_marg = fused_gn_iterations(
+            *args, MARG, lam, dims=dims, iters=iters, robust=robust,
+            fuse_marg=fuse_marg, marg_static=marg_static,
         )
 
-    return _unpack_window(window, out_pose, out_plane), cost_row[0, :iters]
+    w_opt = _unpack_window(window, out_pose, out_plane)
+    costs = cost_row[0, :iters]
+    if fuse_marg:
+        return w_opt, costs, out_marg[:6, :6]
+    return w_opt, costs

@@ -362,6 +362,60 @@ def se3_between_soa(Ra, ta, Rb, tb):
     return se3_compose_soa(Ri, ti, Rb, tb)
 
 
+def inv3_soa(A):
+    """Closed-form 3x3 inverse via the adjugate, |det| floored at 1e-12
+    (parity with solver.schur.inv3x3)."""
+    a, b, c = A[0]
+    d, e, f = A[1]
+    g, h, i = A[2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return [[A00 / det, A01 / det, A02 / det],
+            [A10 / det, A11 / det, A12 / det],
+            [A20 / det, A21 / det, A22 / det]]
+
+
+def spd_inv6_soa(H):
+    """6x6 SPD inverse by 3x3 block elimination (parity with
+    solver.schur.spd_inv6_blocked)."""
+    A = [row[0:3] for row in H[0:3]]
+    B = [row[3:6] for row in H[0:3]]
+    D = [row[3:6] for row in H[3:6]]
+    Ai = inv3_soa(A)
+    AiB = mmul(Ai, B)
+    S = msub(D, mmul(mT(B), AiB))
+    Si = inv3_soa(S)
+    TR = mscale(mmul(AiB, Si), -1.0)
+    TL = msub(Ai, mmul(TR, mT(AiB)))
+    return m6_from_blocks(TL, TR, mT(TR), Si)
+
+
+def chol_lower_soa(A, n: int):
+    """Right-looking Cholesky of an n x n SPD nest, pivots floored at
+    1e-12 (parity with solver.schur.chol_small).  Returns lower L."""
+    A = [row[:] for row in A]
+    zero = jnp.zeros_like(A[0][0])
+    L = [[zero for _ in range(n)] for _ in range(n)]
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(A[j][j], 1e-12))
+        col = [A[i][j] / d for i in range(n)]
+        for i in range(j, n):
+            L[i][j] = col[i]
+        for i in range(j, n):
+            for k in range(j, n):
+                A[i][k] = A[i][k] - col[i] * col[k]
+    return L
+
+
 # ---------------------------------------------------------------------------
 # Planes on S^3  (ports of geometry/plane.py)
 # ---------------------------------------------------------------------------

@@ -479,10 +479,27 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
 
     # --- slide the window when full ---
     full = state.n_kf >= W
-    if cfg.marginalize:
+    use_fused_solver = (
+        solve_impl is None and cfg.solver == "gn" and _use_fused(cfg)
+    )
+    fuse_marg = use_fused_solver and cfg.marginalize
+    if cfg.marginalize and not fuse_marg:
         # Fold the exiting keyframe into a prior on the next-oldest pose
         # (computed from the pre-roll state; applied only when full).
         m_R, m_t, m_sqrt = _marginalize_oldest(state, cfg)
+    elif fuse_marg:
+        # The marginalization chain (~85 us of serial 6x6 tiny ops) runs
+        # INSIDE the fused GN kernel; capture its pre-roll inputs here.
+        from ..ops.fused_gn import pack_marg
+
+        w0 = state.window
+        marg_block = pack_marg(
+            w0.R[0], w0.t[0], w0.R[1], w0.t[1],
+            state.odom_R[0], state.odom_t[0], state.odom_valid[0],
+            state.mprior_R, state.mprior_t, state.mprior_sqrt, full,
+        )
+        m_R, m_t = w0.R[1], w0.t[1]
+        m_sqrt = None                 # kernel output, picked post-solve
 
     def rolled(w, o_R, o_t, o_v, p_pi, p_lm, p_v):
         w2 = w._replace(
@@ -521,7 +538,8 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
     if cfg.marginalize:
         mprior_R = pick(m_R, state.mprior_R)
         mprior_t = pick(m_t, state.mprior_t)
-        mprior_sqrt = pick(m_sqrt, state.mprior_sqrt)
+        mprior_sqrt = (pick(m_sqrt, state.mprior_sqrt)
+                       if m_sqrt is not None else state.mprior_sqrt)
     else:
         mprior_R, mprior_t, mprior_sqrt = (
             state.mprior_R, state.mprior_t, state.mprior_sqrt
@@ -564,14 +582,29 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
             n_kf=state.n_kf + 1,
         )
     solve_fn = make_solve_fn(cfg.pallas)
-    if cfg.solver == "gn" and _use_fused(cfg):
+    if use_fused_solver:
         from ..ops.fused_gn import fused_gn_solve
 
-        window_opt, _ = fused_gn_solve(
-            state.window, factors, iters=cfg.gn_iters,
-            damping=cfg.damping, robust=cfg.robust,
-            use_pallas=jax.default_backend() == "tpu",
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        if fuse_marg:
+            inv_t = 1.0 / cfg.odom_sigma_t
+            inv_r = 1.0 / cfg.odom_sigma_r
+            window_opt, _, m_sqrt_out = fused_gn_solve(
+                state.window, factors, iters=cfg.gn_iters,
+                damping=cfg.damping, robust=cfg.robust,
+                use_pallas=on_tpu, marg=marg_block,
+                marg_static=((inv_t,) * 3 + (inv_r,) * 3, 1e-6,
+                             cfg.marg_info_floor),
+            )
+            state = state._replace(
+                mprior_sqrt=pick(m_sqrt_out, state.mprior_sqrt)
+            )
+        else:
+            window_opt, _ = fused_gn_solve(
+                state.window, factors, iters=cfg.gn_iters,
+                damping=cfg.damping, robust=cfg.robust,
+                use_pallas=on_tpu,
+            )
     elif cfg.solver == "gn":
         window_opt, _ = gn_solve(
             state.window, factors, iters=cfg.gn_iters,
