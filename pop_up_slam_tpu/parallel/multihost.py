@@ -17,6 +17,19 @@ just process bring-up and mesh construction:
 Tested cross-process by ``scripts/multihost_smoke.py`` (2 localhost
 processes, CPU devices), which asserts the distributed solve matches
 the single-process result — SURVEY.md §4 item 4.
+
+**Failure model (SURVEY.md §5 "Failure detection / elastic recovery"):
+the multi-host runtime is deliberately NON-ELASTIC.**  The process set
+is fixed at :func:`init_distributed`; a host loss aborts the job (XLA
+collectives over a fixed mesh cannot re-form), and recovery is
+restart-from-checkpoint: every runner can snapshot its full solver
+state (``utils/checkpoint.py``) and resume from keyframe k with a
+bit-equal continuation (tests/test_tum_runner.py
+``test_resume_matches_uninterrupted``).  In-job failure *detection* is
+delegated to the launcher (the jax distributed runtime surfaces peer
+loss as a fatal error); no in-band heartbeating is layered on top —
+matching the reference's operational model (a crashed ROS node is
+re-run from the rosbag) at multi-host scale.
 """
 
 from __future__ import annotations
