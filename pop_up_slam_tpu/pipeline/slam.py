@@ -104,8 +104,12 @@ class SlamConfig(NamedTuple):
     # tracked in SlamState.n_overflow.
     lm_evict: bool = True
     # Fold duplicate co-planar landmarks (gates = this fraction of the
-    # association gates; extent overlap must be positive).
+    # association gates; extent overlap must be positive).  The merge
+    # pass runs every merge_every-th keyframe under lax.cond —
+    # duplicates are rare and fold within a few keyframes either way,
+    # and the L x L gate matrix is dead weight on the other frames.
     lm_merge: bool = True
+    merge_every: int = 4
     merge_gate_scale: float = 0.5
     merge_min_overlap: float = 0.0
 
@@ -414,17 +418,29 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
     window, store = state.window, state.store
 
     # --- landmark merge: fold duplicate co-planar landmarks before
-    # association so the frame matches against the deduplicated map ---
+    # association so the frame matches against the deduplicated map
+    # (every merge_every-th keyframe; lax.cond skips the L x L gate
+    # matrix on the others) ---
     if cfg.lm_merge:
-        store, lm_valid_m, remap, _ = merge_landmarks(
-            store, window.planes, window.lm_valid,
-            max_angle=cfg.assoc.max_angle * cfg.merge_gate_scale,
-            max_dist=cfg.assoc.max_dist * cfg.merge_gate_scale,
-            min_overlap=cfg.merge_min_overlap,
+        def _do_merge(args):
+            st, lmv, pflm = args
+            st2, lmv2, remap, _ = merge_landmarks(
+                st, window.planes, lmv,
+                max_angle=cfg.assoc.max_angle * cfg.merge_gate_scale,
+                max_dist=cfg.assoc.max_dist * cfg.merge_gate_scale,
+                min_overlap=cfg.merge_min_overlap,
+            )
+            return st2, lmv2, remap[pflm]
+
+        store, lm_valid_m, pf_lm_m = jax.lax.cond(
+            state.n_kf % cfg.merge_every == 0,
+            _do_merge,
+            lambda args: args,
+            (store, window.lm_valid, state.pf_lm),
         )
         window = window._replace(lm_valid=lm_valid_m)
         state = state._replace(
-            window=window, store=store, pf_lm=remap[state.pf_lm]
+            window=window, store=store, pf_lm=pf_lm_m
         )
 
     pred_R, pred_t = current_pose(state)
@@ -441,17 +457,29 @@ def _keyframe_update(state: SlamState, det: FrameDetections,
         cfg.assoc,
     )
 
-    # --- eviction: make room for this keyframe's new landmarks ---
+    # --- eviction: make room for this keyframe's new landmarks
+    # (lax.cond: the ranking argsort only runs when slots are short) ---
     if cfg.lm_evict:
-        in_window = (
-            jnp.zeros((cfg.max_landmarks + 1,), bool)
-            .at[jnp.where(state.pf_valid, state.pf_lm, cfg.max_landmarks)]
-            .set(True)[: cfg.max_landmarks]
+        need = assoc.is_new.sum().astype(jnp.int32)
+
+        def _do_evict(args):
+            st, lmv = args
+            in_window = (
+                jnp.zeros((cfg.max_landmarks + 1,), bool)
+                .at[jnp.where(state.pf_valid, state.pf_lm,
+                              cfg.max_landmarks)]
+                .set(True)[: cfg.max_landmarks]
+            )
+            st2, evicted = evict_landmarks(st, in_window, need)
+            return st2, lmv & (~evicted)
+
+        store, lm_valid_e = jax.lax.cond(
+            need > (~store.valid).sum(),
+            _do_evict,
+            lambda args: args,
+            (store, window.lm_valid),
         )
-        store, evicted = evict_landmarks(
-            store, in_window, assoc.is_new.sum().astype(jnp.int32)
-        )
-        window = window._replace(lm_valid=window.lm_valid & (~evicted))
+        window = window._replace(lm_valid=lm_valid_e)
 
     # --- new landmark insertion ---
     store, new_slot = insert_landmarks(
