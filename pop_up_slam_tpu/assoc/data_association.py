@@ -154,6 +154,12 @@ def associate_detections(
         return s, match
 
     match0 = jnp.full((D,), -1, jnp.int32)
-    _, match_lm = jax.lax.fori_loop(0, D, body, (scores, match0))
+    # Unrolled (D is a small static capacity): a fori_loop lowers to a
+    # While with per-trip sequencing overhead on the latency-bound
+    # chip; unrolling lets XLA fuse the D argmin/mask steps freely.
+    carry = (scores, match0)
+    for _ in range(D):
+        carry = body(0, carry)
+    _, match_lm = carry
     is_new = det_valid & (match_lm < 0)
     return AssocResult(match_lm=match_lm, is_new=is_new, scores=scores)
